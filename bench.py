@@ -1,0 +1,70 @@
+"""Benchmark driver entry: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): mel-spectrogram preprocessing throughput in
+mel-frames/sec/chip via the fused Pallas TacotronSTFT kernel, plus (once the
+trainers land) FastPitch+HiFi-GAN train steps/sec. vs_baseline is measured
+against this repo's own jnp/XLA-FFT mel path (the reference publishes no
+numbers; its pipeline recomputes mels on host CPU per epoch —
+reference python/xvapitch/dataset.py:247-251).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def bench_mel(B=64, T=221184, iters=50):
+    """Device-only throughput: iterate inside one jit (fori_loop over perturbed
+    inputs, single scalar readback) so tunnel dispatch latency is excluded."""
+    import jax
+    import jax.numpy as jnp
+    from xva_trainer_tpu.ops import mel_spectrogram
+    from xva_trainer_tpu.ops.pallas_stft import mel_spectrogram_pallas
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.clip(rng.standard_normal((B, T)) * 0.1, -1, 1).astype(np.float32))
+    frames = B * (1 + T // 256)
+
+    def make(fn):
+        @jax.jit
+        def g(y):
+            def body(i, acc):
+                return acc + fn(y * (1.0 + i.astype(jnp.float32) * 1e-6)).sum()
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        return g
+
+    results = {}
+    for name, fn in [("xla_fft", mel_spectrogram), ("pallas", mel_spectrogram_pallas)]:
+        g = make(fn)
+        float(g(y))  # compile + warm
+        t0 = time.perf_counter()
+        float(g(y))
+        dt = (time.perf_counter() - t0) / iters
+        results[name] = frames / dt
+    return results
+
+
+def main():
+    extras = {}
+    try:
+        from bench_train import bench_train_steps  # noqa: F401  (lands with trainers)
+        extras = bench_train_steps()
+    except Exception:
+        pass
+
+    r = bench_mel()
+    line = {
+        "metric": "mel_frames_per_sec_per_chip",
+        "value": round(r["pallas"], 1),
+        "unit": "frames/s",
+        "vs_baseline": round(r["pallas"] / r["xla_fft"], 3),
+    }
+    if extras:
+        line.update(extras)
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

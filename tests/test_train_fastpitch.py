@@ -1,0 +1,111 @@
+"""End-to-end FastPitch training smoke: synthetic dataset → 4-stage trainer →
+checkpoints → xVASynth export → torch.load verification. Runs on a 2-device
+CPU mesh (DP sharding path exercised for real)."""
+import os
+
+import numpy as np
+import pytest
+
+from xva_trainer_tpu.data import FeatureCache, save_wav
+from xva_trainer_tpu.data.dataset import Bucket, BucketBatcher
+from xva_trainer_tpu.data.text import TextProcessor
+from xva_trainer_tpu.models.fastpitch import FastPitchConfig
+from xva_trainer_tpu.parallel.mesh import make_mesh
+from xva_trainer_tpu.train.fastpitch_trainer import (
+    FastPitchTrainConfig,
+    FastPitchTrainer,
+)
+
+TINY_MODEL = FastPitchConfig(
+    symbols_embedding_dim=64,
+    in_fft_n_layers=1,
+    out_fft_n_layers=1,
+    in_fft_d_head=32,
+    out_fft_d_head=32,
+    in_fft_filter_size=64,
+    out_fft_filter_size=64,
+    predictor_filter_size=32,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fpds")
+    ds = tmp / "ds"
+    (ds / "wavs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(8):
+        t = np.arange(int(22050 * rng.uniform(0.7, 1.2))) / 22050
+        y = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32)
+        save_wav(str(ds / "wavs" / f"it{i}.wav"), y)
+        lines.append(f"it{i}.wav|short sample {i}")
+    (ds / "metadata.csv").write_text("\n".join(lines))
+    tp = TextProcessor()
+    cache = FeatureCache(str(ds), tp.encode, use_pallas=False)
+    cache.build()
+    return cache, str(tmp / "out")
+
+
+def test_fastpitch_end_to_end(dataset):
+    cache, out_dir = dataset
+    batcher = BucketBatcher(cache, batch_size=4, buckets=[Bucket(32, 128)], seed=0)
+    cfg = FastPitchTrainConfig(
+        output_dir=out_dir, batch_size=4, target_bs=4, warmup_steps=2,
+        base_lr=0.05,
+    )
+    mesh = make_mesh(n_data=2, n_model=1)
+    trainer = FastPitchTrainer(cache, cfg, TINY_MODEL, mesh=mesh)
+    trainer.setup(batcher, resume=False)
+
+    # run each stage a couple of epochs by forcing progression
+    for stage in (1, 2, 3, 4):
+        trainer.stage = stage
+        trainer._stage_objects()
+        trainer.state = trainer.state.replace(
+            opt_state=trainer.tx.init(trainer.state.params)
+        )
+        import jax
+
+        losses, _ = trainer.run_epoch(batcher, jax.random.PRNGKey(stage))
+        assert len(losses) == 2  # 8 items / bs 4
+        assert all(np.isfinite(l) for l in losses), f"stage {stage}: {losses}"
+
+    trainer.save_checkpoint()
+    assert trainer.ckpt.latest_step() is not None
+
+    # training.log + graphs.json channels exist
+    trainer.finish_epoch(losses)
+    assert os.path.exists(os.path.join(out_dir, "training.log"))
+    assert os.path.exists(os.path.join(out_dir, "graphs.json"))
+
+    # export + torch readback
+    path = trainer.export("testvoice")
+    assert os.path.exists(path) and os.path.exists(path.replace(".pt", ".json"))
+    import torch
+
+    d = torch.load(path, weights_only=False)
+    assert "model" in d
+    leaves = []
+
+    def walk(x):
+        if isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        else:
+            leaves.append(x)
+
+    walk(d["model"])
+    assert any(getattr(l, "dtype", None) == torch.float16 for l in leaves)
+
+
+def test_resume_roundtrip(dataset):
+    cache, out_dir = dataset
+    batcher = BucketBatcher(cache, batch_size=4, buckets=[Bucket(32, 128)], seed=0)
+    cfg = FastPitchTrainConfig(
+        output_dir=out_dir, batch_size=4, target_bs=4, warmup_steps=2
+    )
+    mesh = make_mesh(n_data=2, n_model=1)
+    tr2 = FastPitchTrainer(cache, cfg, TINY_MODEL, mesh=mesh)
+    tr2.setup(batcher, resume=True)
+    assert tr2.total_iter > 0  # picked up the checkpoint from the prior test

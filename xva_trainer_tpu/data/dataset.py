@@ -1,0 +1,273 @@
+"""Host data pipeline: metadata parsing, precomputed feature cache, bucketing.
+
+Design deltas vs the reference (deliberate, TPU-first — SURVEY.md §7 step 2):
+- The reference recomputes mel+linear spectrograms on CPU workers every epoch
+  (python/xvapitch/dataset.py:223-275 with MAX_CACHE_SAMPLES=0). Here features
+  (mel, pitch, energy) are computed ONCE into an on-disk cache — mels via the
+  fused Pallas TPU kernel in batches — then epochs stream from the cache.
+- The reference pads each batch to the batch max and sorts by length
+  (dataset.py:391-401), producing dynamic shapes. Here batches are padded to
+  bucket boundaries so jit compiles a handful of shapes total.
+
+metadata.csv format (reference python/xvapitch/dataset.py read_datasets):
+``<wav filename>|<transcript>[|...]`` one per line, wavs under ``wavs/``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.stft import DEFAULT_MEL, MelConfig
+from .audio_io import load_wav
+from .pitch import normalize_pitch, yin_f0
+from .prior import BetaBinomialInterpolator
+
+
+@dataclasses.dataclass
+class Utterance:
+    wav_path: str
+    text: str
+    item_id: str
+    mel_len: int = 0
+    text_len: int = 0
+
+
+def read_metadata(dataset_path: str) -> List[Utterance]:
+    """Parse <dataset>/metadata.csv with wavs under <dataset>/wavs/."""
+    meta = os.path.join(dataset_path, "metadata.csv")
+    items: List[Utterance] = []
+    with open(meta, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split("|")
+            stem = os.path.splitext(parts[0])[0]
+            wav = os.path.join(dataset_path, "wavs", stem + ".wav")
+            if os.path.exists(wav):
+                items.append(Utterance(wav, parts[1] if len(parts) > 1 else "", stem))
+    return items
+
+
+class FeatureCache:
+    """Precompute-once mel/pitch/energy cache under <dataset>/.tpu_cache/."""
+
+    def __init__(
+        self,
+        dataset_path: str,
+        text_to_ids: Callable[[str], np.ndarray],
+        mel_cfg: MelConfig = DEFAULT_MEL,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.dataset_path = dataset_path
+        self.cache_dir = os.path.join(dataset_path, ".tpu_cache")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self.mel_cfg = mel_cfg
+        self.text_to_ids = text_to_ids
+        self.items = read_metadata(dataset_path)
+        self._prior = BetaBinomialInterpolator()
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    def _cache_path(self, item: Utterance) -> str:
+        return os.path.join(self.cache_dir, item.item_id + ".npz")
+
+    def build(self, progress: Optional[Callable[[int, int], None]] = None) -> None:
+        """Compute features for all items missing from the cache."""
+        import jax.numpy as jnp
+
+        from ..ops.stft import mel_spectrogram
+        from ..ops.pallas_stft import mel_spectrogram_pallas
+
+        todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
+        for i, item in enumerate(todo):
+            y, sr = load_wav(item.wav_path, target_sr=self.mel_cfg.sample_rate)
+            # frame-align the waveform (static hop multiple)
+            hop = self.mel_cfg.hop_length
+            y = y[: len(y) // hop * hop]
+            if len(y) < hop * 4:
+                continue
+            if self.use_pallas:
+                mel = np.asarray(mel_spectrogram_pallas(jnp.asarray(y)[None])[0])
+            else:
+                mel = np.asarray(mel_spectrogram(jnp.asarray(y)[None])[0])
+            mel = mel[:, : len(y) // hop]  # drop the +1 centered tail frame
+            pitch = yin_f0(y, sr, self.mel_cfg.n_fft, hop)[: mel.shape[1]]
+            if len(pitch) < mel.shape[1]:
+                pitch = np.pad(pitch, (0, mel.shape[1] - len(pitch)))
+            energy = np.linalg.norm(mel, ord=2, axis=0)  # reference data_function.py:327
+            tokens = np.asarray(self.text_to_ids(item.text), np.int32)
+            np.savez(
+                self._cache_path(item),
+                mel=mel.astype(np.float32),
+                pitch=pitch.astype(np.float32),
+                energy=energy.astype(np.float32),
+                tokens=tokens,
+                wav_len=np.int32(len(y)),
+            )
+            if progress:
+                progress(i + 1, len(todo))
+
+    def load_item(self, item: Utterance) -> Optional[Dict[str, np.ndarray]]:
+        p = self._cache_path(item)
+        if not os.path.exists(p):
+            return None
+        with np.load(p) as z:
+            return {k: z[k] for k in z.files}
+
+    def pitch_stats(self) -> Dict[str, float]:
+        """Dataset-level voiced-pitch mean/std (reference
+        get_or_calculate_pitch_stats, fastpitch1_1/xva_train.py:493-536),
+        cached to pitch_stats.json."""
+        stats_path = os.path.join(self.cache_dir, "pitch_stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                return json.load(f)
+        vals = []
+        for it in self.items:
+            d = self.load_item(it)
+            if d is None:
+                continue
+            v = d["pitch"][d["pitch"] > 0]
+            if len(v):
+                vals.append(v)
+        allv = np.concatenate(vals) if vals else np.zeros(1)
+        stats = {"mean": float(allv.mean()), "std": float(allv.std() + 1e-8)}
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+        return stats
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    text_len: int
+    mel_len: int
+
+
+DEFAULT_BUCKETS = (
+    Bucket(64, 256),
+    Bucket(96, 384),
+    Bucket(128, 512),
+    Bucket(192, 768),
+    Bucket(256, 896),
+)
+
+
+class BucketBatcher:
+    """Static-shape batches: each batch padded to one of a few bucket shapes.
+
+    Replaces the reference's sort-by-length dynamic padding
+    (python/xvapitch/dataset.py:391-401) so XLA compiles len(buckets) graphs.
+    """
+
+    def __init__(
+        self,
+        cache: FeatureCache,
+        batch_size: int,
+        buckets: Sequence[Bucket] = DEFAULT_BUCKETS,
+        seed: int = 0,
+        with_prior: bool = True,
+        pitch_normalize: bool = True,
+        drop_last: bool = False,
+    ):
+        self.cache = cache
+        self.batch_size = batch_size
+        self.buckets = sorted(buckets, key=lambda b: b.mel_len)
+        self.rng = np.random.default_rng(seed)
+        self.with_prior = with_prior
+        self._prior = BetaBinomialInterpolator()
+        stats = cache.pitch_stats() if pitch_normalize else None
+        self.pitch_mean = stats["mean"] if stats else 0.0
+        self.pitch_std = stats["std"] if stats else 1.0
+        self.pitch_normalize = pitch_normalize
+        self.drop_last = drop_last
+
+        # Assign items to buckets once.
+        self.assignment: Dict[Bucket, List[Utterance]] = {b: [] for b in self.buckets}
+        self.skipped = 0
+        for it in cache.items:
+            d = cache.load_item(it)
+            if d is None:
+                continue
+            tl, ml = len(d["tokens"]), d["mel"].shape[1]
+            placed = False
+            for b in self.buckets:
+                if tl <= b.text_len and ml <= b.mel_len:
+                    self.assignment[b].append(it)
+                    placed = True
+                    break
+            if not placed:
+                self.skipped += 1
+
+    def __len__(self):
+        n = 0
+        for b, items in self.assignment.items():
+            if self.drop_last:
+                n += len(items) // self.batch_size
+            else:
+                n += (len(items) + self.batch_size - 1) // self.batch_size
+        return n
+
+    def epoch(self, shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        plans = []
+        for b, items in self.assignment.items():
+            if not items:
+                continue
+            order = list(items)
+            if shuffle:
+                self.rng.shuffle(order)
+            for s in range(0, len(order), self.batch_size):
+                chunk = order[s : s + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                plans.append((b, chunk))
+        if shuffle:
+            self.rng.shuffle(plans)
+        for b, chunk in plans:
+            yield self.collate(b, chunk)
+
+    def collate(self, b: Bucket, chunk: List[Utterance]) -> Dict[str, np.ndarray]:
+        n = self.batch_size
+        tokens = np.zeros((n, b.text_len), np.int32)
+        mel = np.zeros((n, b.mel_len, self.cache.mel_cfg.n_mels), np.float32)
+        pitch = np.zeros((n, 1, b.mel_len), np.float32)
+        energy = np.zeros((n, b.mel_len), np.float32)
+        in_lens = np.zeros((n,), np.int32)
+        mel_lens = np.zeros((n,), np.int32)
+        prior = np.zeros((n, b.mel_len, b.text_len), np.float32)
+        ids = []
+        for i, it in enumerate(chunk):
+            d = self.cache.load_item(it)
+            tl = min(len(d["tokens"]), b.text_len)
+            ml = min(d["mel"].shape[1], b.mel_len)
+            tokens[i, :tl] = d["tokens"][:tl]
+            mel[i, :ml] = d["mel"][:, :ml].T
+            p = d["pitch"][:ml]
+            if self.pitch_normalize:
+                p = normalize_pitch(p, self.pitch_mean, self.pitch_std)
+            pitch[i, 0, :ml] = p
+            energy[i, :ml] = d["energy"][:ml]
+            in_lens[i] = tl
+            mel_lens[i] = ml
+            if self.with_prior:
+                prior[i, :ml, :tl] = self._prior(ml, tl)
+            ids.append(it.item_id)
+        batch = {
+            "tokens": tokens,
+            "mel": mel,
+            "pitch": pitch,
+            "energy": energy,
+            "in_lens": np.maximum(in_lens, 1),
+            "mel_lens": np.maximum(mel_lens, 1),
+            "ids": ids,
+        }
+        if self.with_prior:
+            batch["prior"] = prior
+        return batch

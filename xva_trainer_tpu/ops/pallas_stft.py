@@ -1,0 +1,199 @@
+"""Fused Pallas TPU kernel: waveform → log-mel (+ linear) spectrogram.
+
+One kernel performs the reference's whole per-item CPU feature pipeline
+(reference python/xvapitch/dataset.py:247-251 recomputes mel+linear per epoch
+on host): framing, hann windowing, real DFT, magnitude, mel projection and
+dynamic-range compression — a single VMEM-resident pass per 128-frame block.
+
+TPU mapping:
+- Framing: with hop=256 | n_fft=1024, frame block F[i, q*hop+r] = Y2[i+q, r]
+  where Y2 is the signal reshaped (rows, hop). The kernel receives FOUR
+  shifted views of Y2 (q = 0..3) as separate inputs, so Pallas's grid
+  pipeline double-buffers the HBM→VMEM loads; F is a concat in VMEM.
+- Real DFT: windowed DFT basis as a (1024, 1280) matrix ([re|im], each
+  zero-padded 513→640 to keep lane-aligned 128-multiples) — frames @ basis
+  rides the MXU. HIGHEST precision holds <1e-3 L1 parity (bf16 passes do not).
+- Mel: magnitude (128, 640) @ mel^T (640, 128 zero-padded from 513×80),
+  then log(clamp(., 1e-5)).
+
+Grid: one program per 128-frame block; batch via leading grid dimension.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mel import mel_filterbank
+from .stft import MelConfig, DEFAULT_MEL, dft_basis
+
+BLOCK = 128          # frames per grid step
+_RE_PAD = 640        # 513 freq bins zero-padded to a lane multiple
+_MEL_PAD = 128       # 80 mel bins padded to one lane
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.lru_cache(maxsize=None)
+def _padded_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """(n_fft, 2*_RE_PAD) windowed DFT basis, [re | im] each padded to 640."""
+    b = dft_basis(n_fft, win_length)  # (n_fft, 2*(n_fft//2+1))
+    n_freqs = n_fft // 2 + 1
+    out = np.zeros((n_fft, 2 * _RE_PAD), dtype=np.float32)
+    out[:, :n_freqs] = b[:, :n_freqs]
+    out[:, _RE_PAD : _RE_PAD + n_freqs] = b[:, n_freqs:]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _padded_melw(cfg: MelConfig) -> np.ndarray:
+    """(_RE_PAD, _MEL_PAD) mel basis transpose, zero padded."""
+    fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
+    out = np.zeros((_RE_PAD, _MEL_PAD), dtype=np.float32)
+    out[: cfg.n_freqs, : cfg.n_mels] = fb.T
+    return out
+
+
+def _make_kernel(mag_eps: float, clip_val: float, with_linear: bool):
+    def kernel(y0, y1, y2, y3, basis_ref, melw_ref, mel_out, *rest):
+        frames = jnp.concatenate([y0[:], y1[:], y2[:], y3[:]], axis=1)
+        proj = jax.lax.dot_general(
+            frames,
+            basis_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        re = proj[:, :_RE_PAD]
+        im = proj[:, _RE_PAD:]
+        mag = jnp.sqrt(re * re + im * im + mag_eps)
+        if with_linear:
+            rest[0][:] = mag
+        mel = jax.lax.dot_general(
+            mag,
+            melw_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        mel_out[:] = jnp.log(jnp.clip(mel, min=clip_val))
+
+    return kernel
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "center", "mag_eps", "return_linear", "num_frames"),
+)
+def _mel_pallas_1d(
+    y: jnp.ndarray,
+    cfg: MelConfig,
+    center: bool,
+    mag_eps: float,
+    return_linear: bool,
+    num_frames: int,
+):
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    q_count = n_fft // hop
+    pad = n_fft // 2 if center else (n_fft - hop) // 2
+
+    nf_pad = _round_up(max(num_frames, 1), BLOCK)
+    rows_needed = nf_pad + q_count - 1
+    total = rows_needed * hop
+
+    y = jnp.pad(y, (pad, pad), mode="reflect")
+    y = jnp.pad(y, (0, max(0, total - y.shape[0])))[:total]
+    y2 = y.reshape(rows_needed, hop)
+    views = [
+        jax.lax.slice_in_dim(
+            jnp.pad(y2, ((0, q_count), (0, 0))), q, q + nf_pad, axis=0
+        )
+        for q in range(q_count)
+    ]
+
+    basis = jnp.asarray(_padded_basis(n_fft, cfg.win_length))
+    melw = jnp.asarray(_padded_melw(cfg))
+
+    grid = (nf_pad // BLOCK,)
+    view_spec = pl.BlockSpec((BLOCK, hop), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(
+        basis.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    melw_spec = pl.BlockSpec(melw.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_shape = [jax.ShapeDtypeStruct((nf_pad, _MEL_PAD), jnp.float32)]
+    out_specs = [pl.BlockSpec((BLOCK, _MEL_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if return_linear:
+        out_shape.append(jax.ShapeDtypeStruct((nf_pad, _RE_PAD), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((BLOCK, _RE_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+
+    n_freqs = cfg.n_freqs
+    flops_per_block = 2 * BLOCK * n_fft * 2 * _RE_PAD + 2 * BLOCK * _RE_PAD * _MEL_PAD
+    outs = pl.pallas_call(
+        _make_kernel(mag_eps, cfg.clip_val, return_linear),
+        grid=grid,
+        in_specs=[view_spec] * q_count + [const_spec, melw_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_block * grid[0],
+            bytes_accessed=(q_count * BLOCK * hop + basis.size + melw.size) * 4 * grid[0],
+            transcendentals=BLOCK * (_RE_PAD + _MEL_PAD) * grid[0],
+        ),
+    )(*views, basis, melw)
+
+    mel = outs[0][:num_frames, : cfg.n_mels].T  # (n_mels, T)
+    if return_linear:
+        lin = outs[1][:num_frames, :n_freqs].T  # (n_freqs, T)
+        return mel, lin
+    return mel
+
+
+def mel_spectrogram_pallas(
+    y: jnp.ndarray,
+    cfg: MelConfig = DEFAULT_MEL,
+    *,
+    center: bool = True,
+    mag_eps: float = 0.0,
+    return_linear: bool = False,
+):
+    """Fused log-mel (and optional linear) spectrogram of (T,) or (B, T).
+
+    center=True → Tacotron semantics; center=False with mag_eps=1e-9 →
+    HiFi-GAN semantics. Returns (..., n_mels, frames) [+ (..., 513, frames)].
+    """
+    T = y.shape[-1]
+    num_frames = 1 + T // cfg.hop_length if center else T // cfg.hop_length
+    fn = functools.partial(
+        _mel_pallas_1d,
+        cfg=cfg,
+        center=center,
+        mag_eps=mag_eps,
+        return_linear=return_linear,
+        num_frames=num_frames,
+    )
+    if y.ndim == 1:
+        return fn(y)
+    flat = y.reshape(-1, T)
+    out = jax.vmap(fn)(flat)
+    if return_linear:
+        mel, lin = out
+        return (
+            mel.reshape(*y.shape[:-1], *mel.shape[1:]),
+            lin.reshape(*y.shape[:-1], *lin.shape[1:]),
+        )
+    return out.reshape(*y.shape[:-1], *out.shape[1:])

@@ -1,0 +1,48 @@
+"""Device mesh + sharding strategy.
+
+The reference's only parallelism is single-host nn.DataParallel + grad accum
+(SURVEY.md §2.6). Here parallelism is SPMD over a jax mesh:
+
+- axis "data": batch sharding (DP) — gradients all-reduce over ICI via pjit.
+- axis "model": reserved for tensor sharding of the 1536-wide FFN / HiFi-GAN
+  channels (models are ≤100M params, so DP suffices for parity; the axis
+  exists so TP can be added without redesign — SURVEY.md §2.6 row TP/PP/SP).
+
+Batches are sharded (data, None, ...); params replicated. Multi-host would
+extend the mesh over jax.distributed processes; no other comm layer exists.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
+    devs = jax.devices()
+    if n_data is None:
+        n_data = len(devs) // n_model
+    devices = np.array(devs[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place each (B, ...) array with batch dim sharded over "data"."""
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            continue
+        arr = jax.numpy.asarray(v)
+        spec = P("data", *([None] * (arr.ndim - 1)))
+        out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return out

@@ -1,0 +1,158 @@
+"""Checkpoint management: orbax pytrees + xVASynth-compatible export.
+
+Parity with the reference checkpoint contract (SURVEY.md §5.4):
+- contents: model + optimizer state + step/epoch/stage + the loss-history
+  arrays driving early stopping (reference python/xvapitch/xva_train.py:952-963);
+- rolling window of 2 (reference :927-931);
+- auto-resume from the newest checkpoint in the output dir (:1518-1529);
+- export artifact: fp16 state dict ``{voice}.pt`` + metadata JSON
+  (:984-1022; FastPitch variant fastpitch1_1/xva_train.py:1030-1047).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .torch_save import torch_save_compatible
+
+
+class CheckpointManager:
+    """Rolling-window pytree checkpoints with a JSON sidecar for host state."""
+
+    def __init__(self, output_dir: str, prefix: str = "ckpt", max_to_keep: int = 2):
+        self.output_dir = os.path.abspath(output_dir)
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.prefix = prefix
+        self.max_to_keep = max_to_keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.output_dir, f"{self.prefix}_{step}")
+
+    def save(self, step: int, state: Any, host_state: Optional[Dict] = None) -> str:
+        path = self._path(step)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        if host_state is not None:
+            with open(path + ".json", "w") as f:
+                json.dump(host_state, f)
+        self._gc()
+        return path
+
+    def _steps(self):
+        pat = re.compile(rf"^{re.escape(self.prefix)}_(\d+)$")
+        out = []
+        for name in os.listdir(self.output_dir):
+            m = pat.match(name)
+            if m and os.path.isdir(os.path.join(self.output_dir, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _gc(self):
+        steps = self._steps()
+        import shutil
+
+        for s in steps[: -self.max_to_keep]:
+            shutil.rmtree(self._path(s), ignore_errors=True)
+            side = self._path(s) + ".json"
+            if os.path.exists(side):
+                os.remove(side)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self._steps()
+        return steps[-1] if steps else None
+
+    def restore_latest(self, template: Any) -> Tuple[Optional[int], Any, Optional[Dict]]:
+        """Restore the newest checkpoint into the structure of `template`."""
+        step = self.latest_step()
+        if step is None:
+            return None, template, None
+        state = self._ckptr.restore(self._path(step), template)
+        host_state = None
+        side = self._path(step) + ".json"
+        if os.path.exists(side):
+            with open(side) as f:
+                host_state = json.load(f)
+        return step, state, host_state
+
+
+def _to_numpy_fp16(params) -> Dict:
+    def conv(x):
+        x = np.asarray(x)
+        return x.astype(np.float16) if np.issubdtype(x.dtype, np.floating) else x
+
+    return jax.tree_util.tree_map(conv, params)
+
+
+def export_fastpitch_v2(
+    params,
+    out_path: str,
+    voice_name: str,
+    game_id: str = "other",
+    author: str = "",
+    emb: Optional[np.ndarray] = None,
+) -> None:
+    """xVASynth v2 export: fp16 ``.pt`` + metadata ``.json``
+    (reference fastpitch1_1/xva_train.py:1030-1047)."""
+    sd = _to_numpy_fp16(params)
+    torch_save_compatible({"model": sd, "format": "xva_trainer_tpu"}, out_path)
+    meta = {
+        "version": "2.0",
+        "modelVersion": "2.0",
+        "modelType": "FastPitch1.1",
+        "author": author,
+        "lang": "en",
+        "games": [
+            {
+                "gameId": game_id,
+                "voiceId": voice_name,
+                "voiceName": voice_name,
+                "resemblyzer": (emb.tolist() if emb is not None else []),
+                "gender": "male",
+            }
+        ],
+    }
+    with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
+        json.dump(meta, f, indent=4)
+
+
+def export_xvapitch_v3(
+    params,
+    out_path: str,
+    voice_name: str,
+    lang: str = "en",
+    game_id: str = "other",
+    author: str = "",
+    base_emb: Optional[np.ndarray] = None,
+    other_embs: Optional[list] = None,
+) -> None:
+    """xVASynth v3 export (reference python/xvapitch/xva_train.py:984-1022)."""
+    sd = _to_numpy_fp16(params)
+    torch_save_compatible({"model": sd, "format": "xva_trainer_tpu"}, out_path)
+    meta = {
+        "version": "3.0",
+        "modelVersion": "3.0",
+        "modelType": "xVAPitch",
+        "author": author,
+        "lang": lang,
+        "lang_capabilities": [lang],
+        "games": [
+            {
+                "gameId": game_id,
+                "voiceId": voice_name,
+                "voiceName": voice_name,
+                "base_speaker_emb": (base_emb.tolist() if base_emb is not None else []),
+                "gender": "male",
+            }
+        ],
+    }
+    if other_embs is not None:
+        meta["games"][0]["other_embs"] = other_embs
+    with open(os.path.splitext(out_path)[0] + ".json", "w") as f:
+        json.dump(meta, f, indent=4)

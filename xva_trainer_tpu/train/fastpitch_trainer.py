@@ -1,0 +1,298 @@
+"""FastPitch multi-stage trainer: jit step factories + the 4-stage schedule.
+
+Reference behavior being reproduced (python/fastpitch1_1/xva_train.py):
+- 4 stages — 1 aligner, 2 duration, 3 pitch/energy, 4 mel — with per-stage
+  parameter freezing (:589-672) and loss-delta early stopping (:915-976);
+- LAMB lr 0.1 Noam warmup 1000 (:697-705, :1252-1261);
+- gradient accumulation to effective batch 256 (:407);
+- checkpoint rolling window 2 + auto-resume (:986-990, last ckpt scan);
+- NaN-loss skip (:825-832);
+- per-step frames/s metric (:867,897), training.log + graphs.json channels.
+
+TPU-first deltas: one compiled step per (stage, bucket-shape); MAS runs on
+device inside the step; params replicated + batch sharded over the mesh's
+"data" axis (DP grads all-reduce over ICI via pjit); no GradScaler (bf16 on
+TPU needs no loss scaling — SURVEY.md §7 hard part 2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.dataset import BucketBatcher, FeatureCache
+from ..models.fastpitch import FastPitch, FastPitchConfig, loss as fp_loss
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoints import CheckpointManager, export_fastpitch_v2
+from .early_stop import EarlyStopState, fastpitch_min_epochs, fastpitch_target_delta
+from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
+from .optim import fastpitch_stage_mask, make_fastpitch_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class FastPitchTrainConfig:
+    output_dir: str = "out"
+    batch_size: int = 32
+    target_bs: int = 256  # effective batch via grad accum (reference :407)
+    base_lr: float = 0.1
+    weight_decay: float = 1e-6
+    warmup_steps: int = 1000
+    epochs_per_checkpoint: int = 1
+    force_stage: int = 0  # 0 = auto
+    seed: int = 0
+    kl_warmup_epochs: float = 100.0
+
+    @property
+    def grad_accum(self) -> int:
+        return max(1, int(np.ceil(self.target_bs / self.batch_size)))
+
+
+def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformation):
+    """Build the jitted train step for a stage. kl_weight is a traced scalar."""
+
+    def loss_fn(params, batch, kl_weight, rng):
+        common = dict(deterministic=False)
+        rngs = {"dropout": rng}
+        if stage == 1:
+            out = model.apply(
+                params, batch["tokens"], batch["in_lens"], batch["mel"],
+                batch["mel_lens"], batch["prior"], method=FastPitch.stage1,
+                rngs=rngs, **common,
+            )
+            return fp_loss.stage1_loss(out, batch["in_lens"], batch["mel_lens"], kl_weight)
+        if stage == 2:
+            out = model.apply(
+                params, batch["tokens"], batch["in_lens"], batch["mel"],
+                batch["mel_lens"], batch["prior"], method=FastPitch.stage2,
+                rngs=rngs, **common,
+            )
+            return fp_loss.stage2_loss(out, batch["in_lens"])
+        out = model.apply(
+            params, batch["tokens"], batch["in_lens"], batch["mel"],
+            batch["mel_lens"], batch["pitch"], batch["energy"], batch["prior"],
+            rngs=rngs, **common,
+        )
+        if stage == 3:
+            return fp_loss.stage3_loss(out, batch["mel"], batch["in_lens"])
+        return fp_loss.stage4_loss(out, batch["mel"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, kl_weight, rng):
+        (loss, meta), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, kl_weight, rng
+        )
+        # NaN-loss skip (reference :825-832): zero the update, keep state.
+        ok = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        meta = dict(meta)
+        meta["skipped_nan"] = (~ok).astype(jnp.float32)
+        return new_state, meta
+
+    return step
+
+
+class FastPitchTrainer:
+    """Stage scheduler + host loop around the jitted steps."""
+
+    def __init__(
+        self,
+        cache: FeatureCache,
+        cfg: FastPitchTrainConfig,
+        model_cfg: FastPitchConfig = FastPitchConfig(),
+        mesh=None,
+        logger: Optional[TrainingLogger] = None,
+    ):
+        self.cache = cache
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.model = FastPitch(model_cfg)
+        self.mesh = mesh or make_mesh()
+        self.logger = logger or TrainingLogger(cfg.output_dir)
+        self.num_lines = len(cache.items)
+        self.target_deltas = {
+            s: fastpitch_target_delta(s, self.num_lines) for s in (1, 2, 3, 4)
+        }
+        self.graphs = GraphsWriter(cfg.output_dir, (1, 2, 3, 4), self.target_deltas)
+        self.ckpt = CheckpointManager(cfg.output_dir, prefix="FastPitch")
+        self.meter = ThroughputMeter()
+        self.stage = cfg.force_stage or 1
+        self.epoch = 0
+        self.total_iter = 0
+        self.stop_requested = False
+        self._stage_objects()
+
+    # ---- lifecycle ----
+
+    def _init_params(self, batcher: BucketBatcher):
+        batch = next(batcher.epoch(shuffle=False))
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        params = self.model.init(
+            rng,
+            jnp.asarray(batch["tokens"]), jnp.asarray(batch["in_lens"]),
+            jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_lens"]),
+            jnp.asarray(batch["pitch"]), jnp.asarray(batch["energy"]),
+            jnp.asarray(batch["prior"]),
+        )
+        return params
+
+    def _stage_objects(self):
+        self.tx = make_fastpitch_optimizer(
+            self.cfg.base_lr,
+            self.cfg.weight_decay,
+            self.cfg.warmup_steps,
+            grad_accum=self.cfg.grad_accum,
+            freeze_mask=fastpitch_stage_mask(self.stage),
+        )
+        self.early = EarlyStopState(
+            target_delta=self.target_deltas[self.stage],
+            min_epochs=fastpitch_min_epochs(self.stage),
+        )
+        self._step_fn = make_stage_step(self.model, self.stage, self.tx)
+
+    def setup(self, batcher: BucketBatcher, resume: bool = True):
+        params = self._init_params(batcher)
+        state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if resume:
+            step, state2, host = self.ckpt.restore_latest(state)
+            if step is not None:
+                state = state2
+                self.total_iter = int(step)
+                if host:
+                    self.stage = host.get("stage", self.stage)
+                    self.epoch = host.get("epoch", 0)
+                    self._stage_objects()
+                    if "early" in host:
+                        self.early = EarlyStopState.from_dict(host["early"])
+                    # re-init optimizer for the restored stage if shape-mismatch
+                    try:
+                        jax.tree_util.tree_structure(state.opt_state)
+                    except Exception:
+                        state = state.replace(opt_state=self.tx.init(state.params))
+                self.logger.log(f"[resume] stage {self.stage} iter {self.total_iter}")
+        self.state = state
+        return state
+
+    # ---- training ----
+
+    def kl_weight(self) -> float:
+        """Stage-1 binarization warmup (reference :792-798)."""
+        if self.stage != 1:
+            return 0.0
+        return min(self.epoch / self.cfg.kl_warmup_epochs, 1.0)
+
+    def run_epoch(self, batcher: BucketBatcher, rng: jax.Array):
+        epoch_losses = []
+        with self.mesh:
+            self.meter.start()
+            for batch in batcher.epoch():
+                if self.stop_requested:
+                    break
+                frames = int(np.sum(batch["mel_lens"]))
+                dev_batch = shard_batch(self.mesh, batch)
+                rng, sub = jax.random.split(rng)
+                self.state, meta = self._step_fn(
+                    self.state, dev_batch, jnp.asarray(self.kl_weight()), sub
+                )
+                self.total_iter += 1
+                loss = float(meta["loss"])
+                epoch_losses.append(loss)
+                self.meter.add_frames(frames)
+                fps = self.meter.step()
+                self.logger.set_status(
+                    f"Stage: {self.stage} | Epoch: {self.epoch} | "
+                    f"Iter: {self.total_iter} | Loss: {loss:.5f} | frames/s: {int(fps)}"
+                )
+        return epoch_losses, rng
+
+    def finish_epoch(self, epoch_losses) -> bool:
+        """Returns True when the current stage just finished."""
+        self.epoch += 1
+        if not epoch_losses:
+            return False
+        avg = float(np.mean(epoch_losses))
+        self.graphs.add_loss(self.stage, self.total_iter, avg)
+        done = self.early.push_epoch(avg)
+        if self.early.last_delta_avg is not None:
+            self.graphs.add_delta(self.stage, self.total_iter, self.early.last_delta_avg)
+        if self.epoch % self.cfg.epochs_per_checkpoint == 0 or done:
+            self.save_checkpoint()
+        line = (
+            f"Stage: {self.stage} | Epoch: {self.epoch} | Loss: {avg:.5f} | "
+            f"Target: {self.early.target_delta:.5f}"
+        )
+        if self.early.last_delta_avg is not None:
+            line += f" | Delta: {self.early.last_delta_avg:.5f}"
+        if self.early.patience_count:
+            line += f" | Hit: {self.early.patience_count}/{self.early.patience}"
+        self.logger.log(line)
+        if done:
+            self.logger.log(f"[Trainer] Stage {self.stage} finished")
+            if self.stage < 4:
+                self.stage += 1
+                self._stage_objects()
+                self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+            else:
+                return True  # end of FastPitch training → hand off to HiFi-GAN
+        return done and self.stage >= 4
+
+    def save_checkpoint(self):
+        host = {
+            "stage": self.stage,
+            "epoch": self.epoch,
+            "early": self.early.to_dict(),
+            "frames_s": self.meter.mean(),
+        }
+        self.ckpt.save(self.total_iter, self.state, host)
+
+    def train(self, batcher: BucketBatcher, max_epochs: int = 10**6,
+              max_iters: Optional[int] = None) -> Dict:
+        """Run stages until stage 4 completes (or budget is hit)."""
+        rng = jax.random.PRNGKey(self.cfg.seed + 1)
+        if not hasattr(self, "state"):
+            self.setup(batcher)
+        start = time.perf_counter()
+        for _ in range(max_epochs):
+            losses, rng = self.run_epoch(batcher, rng)
+            all_done = self.finish_epoch(losses)
+            if all_done or self.stop_requested:
+                break
+            if max_iters and self.total_iter >= max_iters:
+                break
+        return {
+            "stage": self.stage,
+            "epoch": self.epoch,
+            "total_iter": self.total_iter,
+            "wall_s": time.perf_counter() - start,
+            "frames_s": self.meter.mean(),
+        }
+
+    def export(self, voice_name: str, out_dir: Optional[str] = None):
+        out_dir = out_dir or self.cfg.output_dir
+        path = os.path.join(out_dir, f"{voice_name}.pt")
+        export_fastpitch_v2(self.state.params["params"], path, voice_name)
+        return path

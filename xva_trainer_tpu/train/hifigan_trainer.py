@@ -1,0 +1,325 @@
+"""HiFi-GAN stage-5 trainer: one jitted step runs D-update then G-update.
+
+Reference behavior (python/hifigan/xva_train.py:451-567):
+- per iteration: G forward on a random 8192-sample segment → D step (LSGAN on
+  real/fake) → G step (mel L1 ×45 on full-band mel + MPD/MSD adversarial +
+  feature-matching ×2);
+- AdamW lr 2e-4, betas (0.8, 0.99), ExponentialLR γ=0.999 per epoch;
+- epoch loss-delta early stop: target 1e-4, patience 3, ≥25 epochs
+  (:268-270, 639);
+- fine-tunes from pretrained g_/do_ checkpoints, never from scratch (:276-277).
+
+TPU-first design: the whole pipeline — segment mel (input, 0-8kHz), generator,
+both mels for the L1 loss (full band, fmax_for_loss=null in config_v1.json),
+discriminators, both optimizer updates — is ONE compiled XLA program per step;
+fakes are generated once and reused for the D pass via stop_gradient (the
+reference's y_disc_cache trick, SURVEY.md §7 hard part 2). No GradScaler.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.audio_io import load_wav
+from ..data.dataset import read_metadata
+from ..models.hifigan import (
+    Generator,
+    HifiganConfig,
+    HifiganDiscriminator,
+    discriminator_loss,
+    feature_matching_loss,
+    generator_adv_loss,
+)
+from ..ops.stft import LOSS_MEL, MelConfig, mel_spectrogram_hifigan
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoints import CheckpointManager
+from .early_stop import (
+    EarlyStopState,
+    HIFIGAN_MIN_EPOCHS,
+    HIFIGAN_SPAN,
+    HIFIGAN_TARGET_DELTA,
+)
+from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
+from .torch_save import torch_save_compatible
+
+SEGMENT_SIZE = 8192  # config_v1.json segment_size
+MEL_WEIGHT = 45.0    # reference xva_train.py:504 (mel L1 ×45)
+
+
+class GanState(struct.PyTreeNode):
+    g_params: Any
+    d_params: Any
+    d_stats: Any  # spectral-norm power-iteration state
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class HifiganTrainConfig:
+    output_dir: str = "out_hifi"
+    batch_size: int = 16
+    lr: float = 2e-4
+    lr_decay: float = 0.999  # per epoch
+    adam_betas = (0.8, 0.99)
+    seed: int = 0
+    steps_per_epoch_hint: int = 200  # lr decay granularity
+
+
+def make_gan_step(
+    gen: Generator,
+    disc: HifiganDiscriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    mel_cfg: MelConfig,
+):
+    loss_mel_cfg = LOSS_MEL  # full band (fmax None)
+
+    def mel_of(wav):  # (B, T, 1) → (B, 80, T/256)
+        return mel_spectrogram_hifigan(wav[..., 0], loss_mel_cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: GanState, wav_real):
+        # wav_real: (B, SEGMENT, 1) in [-1, 1]
+        mel_in = mel_spectrogram_hifigan(wav_real[..., 0], mel_cfg)  # (B,80,32)
+        mel_in_t = jnp.swapaxes(mel_in, 1, 2)  # channels-last
+
+        y_hat = gen.apply(state.g_params, mel_in_t)  # (B, SEGMENT, 1)
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+
+        # ---- D step ----
+        def d_loss_fn(d_params):
+            (outs_r, outs_g, _, _), new_stats = disc.apply(
+                {"params": d_params["params"], "batch_stats": state.d_stats},
+                wav_real, y_hat_sg, update_sn_stats=True, mutable=["batch_stats"],
+            )
+            return discriminator_loss(outs_r, outs_g), new_stats["batch_stats"]
+
+        (d_loss, new_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G step (against the updated discriminator) ----
+        def g_loss_fn(g_params):
+            y_g = gen.apply(g_params, mel_in_t)
+            mel_l1 = jnp.mean(jnp.abs(mel_of(y_g) - mel_of(wav_real)))
+            (outs_r, outs_g, fmaps_r, fmaps_g), _ = disc.apply(
+                {"params": new_d_params["params"], "batch_stats": new_stats},
+                wav_real, y_g, update_sn_stats=False, mutable=["batch_stats"],
+            )
+            adv = generator_adv_loss(outs_g)
+            fm = feature_matching_loss(fmaps_r, fmaps_g)
+            total = MEL_WEIGHT * mel_l1 + adv + fm
+            return total, {"mel_l1": mel_l1, "adv": adv, "fm": fm}
+
+        (g_loss, meta), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GanState(
+            g_params=new_g_params,
+            d_params=new_d_params,
+            d_stats=new_stats,
+            g_opt=new_g_opt,
+            d_opt=new_d_opt,
+            step=state.step + 1,
+        )
+        meta = dict(meta)
+        meta["d_loss"] = d_loss
+        meta["g_loss"] = g_loss
+        return new_state, meta
+
+    return step
+
+
+class SegmentSampler:
+    """Random fixed-size waveform segments (reference meldataset.py MelDataset).
+
+    Wavs are memory-cached once; every epoch yields random 8192-sample crops,
+    keeping all shapes static.
+    """
+
+    def __init__(self, dataset_path: str, batch_size: int, seed: int = 0,
+                 sample_rate: int = 22050):
+        self.items = read_metadata(dataset_path)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.wavs: List[np.ndarray] = []
+        for it in self.items:
+            y, _ = load_wav(it.wav_path, target_sr=sample_rate)
+            if len(y) < SEGMENT_SIZE:
+                y = np.pad(y, (0, SEGMENT_SIZE - len(y)))
+            self.wavs.append(y.astype(np.float32))
+
+    def __len__(self):
+        return max(1, len(self.wavs) // self.batch_size)
+
+    def epoch(self):
+        order = self.rng.permutation(len(self.wavs))
+        for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            idx = order[s : s + self.batch_size]
+            seg = np.zeros((self.batch_size, SEGMENT_SIZE, 1), np.float32)
+            for j, i in enumerate(idx):
+                y = self.wavs[i]
+                start = self.rng.integers(0, max(1, len(y) - SEGMENT_SIZE + 1))
+                seg[j, :, 0] = y[start : start + SEGMENT_SIZE]
+            yield seg
+        if len(order) < self.batch_size:  # tiny datasets still yield one batch
+            idx = self.rng.choice(len(self.wavs), self.batch_size)
+            seg = np.zeros((self.batch_size, SEGMENT_SIZE, 1), np.float32)
+            for j, i in enumerate(idx):
+                y = self.wavs[i]
+                start = self.rng.integers(0, max(1, len(y) - SEGMENT_SIZE + 1))
+                seg[j, :, 0] = y[start : start + SEGMENT_SIZE]
+            yield seg
+
+
+class HifiganTrainer:
+    def __init__(
+        self,
+        dataset_path: str,
+        cfg: HifiganTrainConfig,
+        gen_cfg: HifiganConfig = HifiganConfig(),
+        mesh=None,
+        mel_cfg: MelConfig = MelConfig(),
+        logger: Optional[TrainingLogger] = None,
+    ):
+        self.cfg = cfg
+        self.gen = Generator(gen_cfg)
+        self.disc = HifiganDiscriminator()
+        self.mesh = mesh or make_mesh()
+        self.mel_cfg = mel_cfg
+        self.logger = logger or TrainingLogger(cfg.output_dir)
+        self.sampler = SegmentSampler(dataset_path, cfg.batch_size, cfg.seed)
+        decay_every = max(1, cfg.steps_per_epoch_hint)
+
+        def sched(step):
+            return cfg.lr * cfg.lr_decay ** (step // decay_every)
+
+        self.g_tx = optax.adamw(sched, b1=0.8, b2=0.99, weight_decay=0.0)
+        self.d_tx = optax.adamw(sched, b1=0.8, b2=0.99, weight_decay=0.0)
+        self._step_fn = make_gan_step(self.gen, self.disc, self.g_tx, self.d_tx, mel_cfg)
+        self.early = EarlyStopState(
+            target_delta=HIFIGAN_TARGET_DELTA,
+            span=HIFIGAN_SPAN,
+            min_epochs=HIFIGAN_MIN_EPOCHS,
+        )
+        self.graphs = GraphsWriter(cfg.output_dir, (5,), {5: HIFIGAN_TARGET_DELTA})
+        self.ckpt = CheckpointManager(cfg.output_dir, prefix="HiFiGAN")
+        self.meter = ThroughputMeter()
+        self.epoch = 0
+        self.total_iter = 0
+        self.stop_requested = False
+
+    def setup(self, resume: bool = True):
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        seg = jnp.zeros((self.cfg.batch_size, SEGMENT_SIZE, 1), jnp.float32)
+        mel = jnp.zeros((self.cfg.batch_size, SEGMENT_SIZE // 256, 80), jnp.float32)
+        g_params = self.gen.init(rng, mel)
+        d_vars = self.disc.init(rng, seg, seg)
+        state = GanState(
+            g_params=g_params,
+            d_params={"params": d_vars["params"]},
+            d_stats=d_vars.get("batch_stats", {}),
+            g_opt=self.g_tx.init(g_params),
+            d_opt=self.d_tx.init({"params": d_vars["params"]}),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if resume:
+            step, state2, host = self.ckpt.restore_latest(state)
+            if step is not None:
+                state = state2
+                self.total_iter = int(step)
+                if host:
+                    self.epoch = host.get("epoch", 0)
+                    if "early" in host:
+                        self.early = EarlyStopState.from_dict(host["early"])
+                self.logger.log(f"[resume] HiFi-GAN iter {self.total_iter}")
+        self.state = state
+        return state
+
+    def load_generator_params(self, g_params):
+        """Warm-start from a pretrained generator (the [male]/[female] g_ ckpt
+        role, reference :276-277)."""
+        self.state = self.state.replace(g_params=g_params)
+
+    def run_epoch(self):
+        losses = []
+        with self.mesh:
+            self.meter.start()
+            for seg in self.sampler.epoch():
+                if self.stop_requested:
+                    break
+                dev = shard_batch(self.mesh, {"wav": seg})["wav"]
+                self.state, meta = self._step_fn(self.state, dev)
+                self.total_iter += 1
+                mel_l1 = float(meta["mel_l1"])
+                losses.append(mel_l1)
+                self.meter.add_frames(seg.shape[0] * (SEGMENT_SIZE // 256))
+                fps = self.meter.step()
+                self.logger.set_status(
+                    f"Stage: 5 | Epoch: {self.epoch} | Iter: {self.total_iter} | "
+                    f"mel L1: {mel_l1:.5f} | its/s: {fps / (seg.shape[0] * 32):.2f}"
+                )
+        return losses
+
+    def finish_epoch(self, losses) -> bool:
+        self.epoch += 1
+        if not losses:
+            return False
+        avg = float(np.mean(losses))
+        self.graphs.add_loss(5, self.total_iter, avg)
+        done = self.early.push_epoch(avg)
+        if self.early.last_delta_avg is not None:
+            self.graphs.add_delta(5, self.total_iter, self.early.last_delta_avg)
+        self.ckpt.save(self.total_iter, self.state, {
+            "epoch": self.epoch, "early": self.early.to_dict(),
+        })
+        self.logger.log(
+            f"Stage: 5 | Epoch: {self.epoch} | mel L1: {avg:.5f}"
+            + (f" | Delta: {self.early.last_delta_avg:.5f}"
+               if self.early.last_delta_avg is not None else "")
+        )
+        return done
+
+    def train(self, max_epochs: int = 10**6, max_iters: Optional[int] = None) -> Dict:
+        if not hasattr(self, "state"):
+            self.setup()
+        start = time.perf_counter()
+        for _ in range(max_epochs):
+            losses = self.run_epoch()
+            if self.finish_epoch(losses) or self.stop_requested:
+                break
+            if max_iters and self.total_iter >= max_iters:
+                break
+        return {
+            "epoch": self.epoch,
+            "total_iter": self.total_iter,
+            "wall_s": time.perf_counter() - start,
+        }
+
+    def export(self, voice_name: str, out_dir: Optional[str] = None) -> str:
+        """{voice}.hg.pt vocoder export (reference :600-601)."""
+        out_dir = out_dir or self.cfg.output_dir
+        path = os.path.join(out_dir, f"{voice_name}.hg.pt")
+
+        def to_np16(x):
+            x = np.asarray(x)
+            return x.astype(np.float16) if np.issubdtype(x.dtype, np.floating) else x
+
+        sd = jax.tree_util.tree_map(to_np16, self.state.g_params["params"])
+        torch_save_compatible({"generator": sd, "format": "xva_trainer_tpu"}, path)
+        return path

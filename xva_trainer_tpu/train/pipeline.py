@@ -1,0 +1,119 @@
+"""Full v2 training pipeline: FastPitch stages 1-4 → HiFi-GAN stage 5 → export,
+plus the text→mel→waveform inference path (the reference's /exportWav flow).
+
+Reference: stage hand-off "move to hifi" (python/fastpitch1_1/xva_train.py:160-162),
+inference wrapper FastPitch1_1.infer (:1172-1233).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio_io import save_wav
+from ..data.dataset import BucketBatcher, FeatureCache
+from ..data.text import TextProcessor
+from ..models.fastpitch import FastPitch, FastPitchConfig
+from ..models.hifigan import Generator, HifiganConfig
+from .fastpitch_trainer import FastPitchTrainConfig, FastPitchTrainer
+from .hifigan_trainer import HifiganTrainConfig, HifiganTrainer
+from .metrics import TrainingLogger
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    dataset_path: str = ""
+    output_path: str = "out"
+    batch_size: int = 32
+    target_bs: int = 256
+    max_fp_epochs: int = 10**6
+    max_hifi_epochs: int = 10**6
+    voice_name: str = "voice"
+
+
+def train_v2_pipeline(
+    cfg: PipelineConfig,
+    model_cfg: FastPitchConfig = FastPitchConfig(),
+    gen_cfg: HifiganConfig = HifiganConfig(),
+    mesh=None,
+    max_iters: Optional[int] = None,
+) -> Dict:
+    """The reference's stage 1→5 schedule as one call."""
+    logger = TrainingLogger(cfg.output_path)
+    tp = TextProcessor()
+    cache = FeatureCache(cfg.dataset_path, tp.encode)
+    cache.build()
+
+    batcher = BucketBatcher(cache, batch_size=cfg.batch_size)
+    fp_cfg = FastPitchTrainConfig(
+        output_dir=cfg.output_path,
+        batch_size=cfg.batch_size,
+        target_bs=cfg.target_bs,
+    )
+    fp = FastPitchTrainer(cache, fp_cfg, model_cfg, mesh=mesh, logger=logger)
+    fp.setup(batcher)
+    fp_result = fp.train(batcher, max_epochs=cfg.max_fp_epochs, max_iters=max_iters)
+    fp_path = fp.export(cfg.voice_name)
+    logger.log(f"[pipeline] FastPitch done: {fp_result} → {fp_path}")
+
+    hifi_cfg = HifiganTrainConfig(
+        output_dir=os.path.join(cfg.output_path, "hifi"),
+        batch_size=min(16, cfg.batch_size),
+    )
+    hifi = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh, logger=logger)
+    hifi.setup()
+    hifi_result = hifi.train(max_epochs=cfg.max_hifi_epochs, max_iters=max_iters)
+    hg_path = hifi.export(cfg.voice_name, cfg.output_path)
+    logger.log(f"[pipeline] HiFi-GAN done: {hifi_result} → {hg_path}")
+    return {"fastpitch": fp_result, "hifigan": hifi_result,
+            "exports": [fp_path, hg_path]}
+
+
+class V2InferenceModel:
+    """text → FastPitch mel → HiFi-GAN waveform (reference /exportWav flow,
+    server.py:313-330 → FastPitch1_1.infer fastpitch1_1/xva_train.py:1172-1233)."""
+
+    def __init__(
+        self,
+        fp_params,
+        gen_params,
+        model_cfg: FastPitchConfig = FastPitchConfig(),
+        gen_cfg: HifiganConfig = HifiganConfig(),
+        mel_max_len: int = 1024,
+    ):
+        self.model = FastPitch(model_cfg)
+        self.gen = Generator(gen_cfg)
+        self.fp_params = fp_params
+        self.gen_params = gen_params
+        self.tp = TextProcessor()
+        self.mel_max_len = mel_max_len
+
+        @jax.jit
+        def _infer(params, gparams, tokens):
+            out = self.model.apply(
+                params, tokens, method=FastPitch.infer, mel_max_len=mel_max_len
+            )
+            mel = jnp.swapaxes(out["mel_out"], 1, 2)  # (B, T, 80)
+            wav = self.gen.apply(gparams, mel)  # (B, T*256, 1)
+            return wav[..., 0], out["dec_lens"]
+
+        self._infer = _infer
+
+    def tts(self, text: str, pad_to: Optional[int] = 256) -> np.ndarray:
+        ids = self.tp.encode(text)
+        if pad_to:
+            ids = np.pad(ids, (0, max(0, pad_to - len(ids))))[:pad_to]
+        wav, dec_lens = self._infer(
+            self.fp_params, self.gen_params, jnp.asarray(ids)[None]
+        )
+        n = int(dec_lens[0]) * 256
+        return np.asarray(wav[0][:n])
+
+    def export_wav(self, text: str, out_path: str) -> str:
+        wav = self.tts(text)
+        save_wav(out_path, wav)
+        return out_path
