@@ -40,6 +40,10 @@ class HifiganConfig:
     upsample_initial_channel: int = 512
     in_channels: int = 80
     cond_channels: int = 0  # 512 for speaker-conditioned variants
+    # xVAPitch decoder variant (reference python/xvapitch/model.py:134-149):
+    conv_pre_weight_norm: bool = True
+    conv_post_weight_norm: bool = True
+    conv_post_bias: bool = True
 
     @property
     def hop(self) -> int:
@@ -107,7 +111,10 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x, cond_emb=None):
         c = self.cfg
-        x = _wn_conv(c.upsample_initial_channel, 7)(x)
+        if c.conv_pre_weight_norm:
+            x = _wn_conv(c.upsample_initial_channel, 7)(x)
+        else:
+            x = nn.Conv(c.upsample_initial_channel, (7,), padding="SAME")(x)
         if c.cond_channels:
             # cond_emb (B, cond_channels) or (B, 1, cond_channels)
             if cond_emb.ndim == 2:
@@ -130,7 +137,13 @@ class Generator(nn.Module):
                 xs = xs + ResBlock1(ch, kr, tuple(dr))(x)
             x = xs / len(c.resblock_kernel_sizes)
         x = nn.leaky_relu(x)
-        x = _wn_conv(1, 7, init_std=0.01)(x)
+        if c.conv_post_weight_norm:
+            x = _wn_conv(1, 7, init_std=0.01)(x)
+        else:
+            x = nn.Conv(
+                1, (7,), padding="SAME", use_bias=c.conv_post_bias,
+                kernel_init=nn.initializers.normal(0.01),
+            )(x)
         return jnp.tanh(x)
 
 
