@@ -1,0 +1,81 @@
+"""App server protocol tests: JSON task dispatch, tool events, HTTP endpoints."""
+import asyncio
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xva_trainer_tpu.app import AppServer, ModelsManager
+from xva_trainer_tpu.data import save_wav
+
+
+class FakeWS:
+    def __init__(self):
+        self.sent = []
+
+    async def send(self, msg):
+        self.sent.append(json.loads(msg))
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_models_manager_lazy_init():
+    mm = ModelsManager()
+    tool = run(mm.init_model("formatting"))
+    assert tool is run(mm.init_model("formatting"))  # cached
+    with pytest.raises(KeyError):
+        mm.sync_init_model("nope")
+
+
+def test_run_task_protocol(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    y = (0.1 * np.sin(np.arange(22050) * 0.05)).astype(np.float32)
+    save_wav(str(src / "a.wav"), y)
+    server = AppServer(logger=_quiet_logger())
+    ws = FakeWS()
+    msg = json.dumps({
+        "model": "formatting", "task": "runTask",
+        "data": {"inPath": str(src), "outputDirectory": str(tmp_path / "out")},
+    })
+    run(server.handle_message(msg, ws))
+    assert any(e["key"] == "tasks_next" for e in ws.sent)
+    assert os.path.exists(tmp_path / "out" / "a.wav")
+
+
+def test_error_event_on_bad_tool_input(tmp_path):
+    server = AppServer(logger=_quiet_logger())
+    ws = FakeWS()
+    msg = json.dumps({
+        "model": "formatting", "task": "runTask",
+        "data": {"inPath": str(tmp_path / "missing_dir")},
+    })
+    run(server.handle_message(msg, ws))
+    assert any(e["key"] == "tasks_error" for e in ws.sent)
+
+
+def test_http_endpoints(tmp_path):
+    server = AppServer(logger=_quiet_logger())
+    out = run(server.handle_http("/checkReady", {}))
+    assert out == {"ready": True}
+    d = tmp_path / "wavs"
+    d.mkdir()
+    save_wav(str(d / "x.wav"), np.zeros(22050, np.float32))
+    out = run(server.handle_http("/getAudioLengthOfDir", {"directory": str(d)}))
+    assert abs(out["seconds"] - 1.0) < 0.01
+    out = run(server.handle_http("/setDevice", {"device": "cpu"}))
+    assert out == {"ok": True}
+    out = run(server.handle_http("/bogus", {}))
+    assert "error" in out
+
+
+def _quiet_logger():
+    import logging
+
+    lg = logging.getLogger("test_quiet")
+    lg.addHandler(logging.NullHandler())
+    lg.propagate = False
+    return lg

@@ -1,0 +1,288 @@
+"""v3 (xVAPitch) dataset pipeline: linear specs, d-vectors, priors datasets,
+loss-sorted resampling.
+
+Reference behavior:
+- TTSDataset computes mel+linear per item per epoch on CPU
+  (python/xvapitch/dataset.py:223-275) — here features cache once (linear spec
+  via the fused TPU kernel), epochs stream from disk.
+- read_datasets walks priors roots ``<lang>_<name>/metadata.csv`` and extracts
+  missing speaker embeddings with the ResNet encoder (dataset.py:588-684).
+- per-dataset embedding: KMeans main centroid + 9 style centroids cached to
+  emb.txt / other_embs.txt (get_dataset_emb.py:7-66).
+- loss-sorted gaussian resampling (calibrate_loss_sampling, dataset.py:164-220):
+  sort items by accumulated loss, gauss(100, 50)/200 index sampling of 50%,
+  doubled up.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.stft import DEFAULT_MEL, MelConfig
+from .audio_io import load_wav, resample
+from .dataset import Bucket, Utterance, read_metadata
+from .pitch import yin_f0
+
+# v3 normalizes pitch with fixed xVASpeech stats (reference dataset.py:157-158)
+XVASPEECH_PITCH_MEAN = 104.606
+XVASPEECH_PITCH_STD = 123.4384
+
+LANG_CODES = [
+    "am", "ar", "da", "de", "el", "en", "es", "fi", "fr", "ha", "hi", "hu",
+    "it", "jp", "ko", "la", "nl", "pl", "pt", "ro", "ru", "sw", "sv", "th",
+    "tr", "uk", "vi", "wo", "yo", "zh", "mn",
+]  # 31 languages (reference python/xvapitch/text/__init__.py:5-37)
+
+
+def lang_to_id(lang: str) -> int:
+    lang = (lang or "en").lower()
+    return LANG_CODES.index(lang) if lang in LANG_CODES else LANG_CODES.index("en")
+
+
+class XvaFeatureCache:
+    """Per-utterance cache: tokens, linear spec, pitch, energy, wav samples."""
+
+    def __init__(
+        self,
+        dataset_path: str,
+        text_to_ids: Callable[[str], np.ndarray],
+        lang: str = "en",
+        mel_cfg: MelConfig = DEFAULT_MEL,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.dataset_path = dataset_path
+        self.lang = lang
+        self.lang_id = lang_to_id(lang)
+        self.cache_dir = os.path.join(dataset_path, ".tpu_cache_v3")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self.mel_cfg = mel_cfg
+        self.text_to_ids = text_to_ids
+        self.items = read_metadata(dataset_path)
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    def _cache_path(self, item: Utterance) -> str:
+        return os.path.join(self.cache_dir, item.item_id + ".npz")
+
+    def build(self, progress=None) -> None:
+        import jax.numpy as jnp
+
+        from ..ops.stft import linear_spectrogram
+        from ..ops.pallas_stft import mel_spectrogram_pallas
+
+        todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
+        for i, item in enumerate(todo):
+            y, sr = load_wav(item.wav_path, target_sr=self.mel_cfg.sample_rate)
+            hop = self.mel_cfg.hop_length
+            y = y[: len(y) // hop * hop]
+            if len(y) < hop * 40:  # skip sub-0.5s clips
+                continue
+            if self.use_pallas:
+                _, lin = mel_spectrogram_pallas(
+                    jnp.asarray(y)[None], return_linear=True
+                )
+                lin = np.asarray(lin[0])
+            else:
+                lin = np.asarray(linear_spectrogram(jnp.asarray(y)[None])[0])
+            lin = lin[:, : len(y) // hop]
+            pitch = yin_f0(y, sr, self.mel_cfg.n_fft, hop)[: lin.shape[1]]
+            if len(pitch) < lin.shape[1]:
+                pitch = np.pad(pitch, (0, lin.shape[1] - len(pitch)))
+            pitch = np.where(
+                pitch > 0,
+                (pitch - XVASPEECH_PITCH_MEAN) / XVASPEECH_PITCH_STD,
+                0.0,
+            ).astype(np.float32)
+            energy = np.linalg.norm(np.log(np.clip(lin, 1e-5, None)), axis=0)
+            tokens = np.asarray(self.text_to_ids(item.text), np.int32)
+            np.savez(
+                self._cache_path(item),
+                linear=lin.astype(np.float32),
+                pitch=pitch,
+                energy=energy.astype(np.float32),
+                tokens=tokens,
+                wav=y.astype(np.float32),
+                lang_id=np.int32(self.lang_id),
+            )
+            if progress:
+                progress(i + 1, len(todo))
+
+    def load_item(self, item: Utterance) -> Optional[Dict[str, np.ndarray]]:
+        p = self._cache_path(item)
+        if not os.path.exists(p):
+            return None
+        with np.load(p) as z:
+            return {k: z[k] for k in z.files}
+
+
+def get_dataset_embedding(
+    dataset_path: str,
+    speaker_encoder=None,
+    n_clusters: int = 10,
+    max_files: int = 60,
+) -> Dict[str, np.ndarray]:
+    """Main-voice centroid + style centroids, cached to emb.txt/other_embs.txt
+    (reference python/xvapitch/get_dataset_emb.py:7-66)."""
+    emb_path = os.path.join(dataset_path, "emb.txt")
+    other_path = os.path.join(dataset_path, "other_embs.txt")
+    if os.path.exists(emb_path) and os.path.exists(other_path):
+        main = np.loadtxt(emb_path, delimiter=",")
+        others = np.loadtxt(other_path, delimiter=",")
+        return {"main": main.astype(np.float32), "others": others.astype(np.float32)}
+
+    if speaker_encoder is None:
+        from ..models.speaker_encoder import SpeakerEncoder
+
+        speaker_encoder = SpeakerEncoder()
+    items = read_metadata(dataset_path)[:max_files]
+    embs = []
+    for it in items:
+        y, sr = load_wav(it.wav_path)
+        y16 = resample(y, sr, 16000)
+        embs.append(speaker_encoder.compute_embedding(y16))
+    embs = np.stack(embs)
+    k = min(n_clusters, len(embs))
+    if k >= 2:
+        from sklearn.cluster import KMeans
+
+        km = KMeans(n_clusters=k, n_init=4, random_state=0).fit(embs)
+        counts = np.bincount(km.labels_, minlength=k)
+        main = km.cluster_centers_[counts.argmax()]
+        others = np.delete(km.cluster_centers_, counts.argmax(), axis=0)
+    else:
+        main = embs.mean(axis=0)
+        others = embs[:1]
+    np.savetxt(emb_path, main[None], delimiter=",")
+    np.savetxt(other_path, others, delimiter=",")
+    return {"main": main.astype(np.float32), "others": others.astype(np.float32)}
+
+
+def loss_sorted_resample(
+    loss_by_item: Dict[str, float], rng: Optional[random.Random] = None
+) -> List[str]:
+    """Gaussian mid-band resampling of loss-sorted items
+    (reference dataset.py calibrate_loss_sampling:164-220)."""
+    rng = rng or random.Random(1234)
+    ranked = sorted(loss_by_item.items(), key=lambda kv: kv[1])
+    n = len(ranked)
+    target = int(n * 0.5)
+    picked: List[int] = []
+    it = 0
+    while len(picked) < target and it < 100000:
+        it += 1
+        v = rng.gauss(100, 50)
+        if 0 <= v < 200:
+            idx = int(v / 200 * n)
+            if idx not in picked:
+                picked.append(idx)
+    picked = picked + picked  # double up (reference :211)
+    return [ranked[i][0] for i in picked]
+
+
+DEFAULT_V3_BUCKETS = (
+    Bucket(64, 256),
+    Bucket(96, 384),
+    Bucket(128, 512),
+    Bucket(192, 768),
+)
+
+
+class XvaBatcher:
+    """Static-shape v3 batches over one or more XvaFeatureCaches."""
+
+    def __init__(
+        self,
+        caches: Sequence[XvaFeatureCache],
+        batch_size: int,
+        d_vector: np.ndarray,
+        buckets: Sequence[Bucket] = DEFAULT_V3_BUCKETS,
+        seed: int = 0,
+        hop: int = 256,
+    ):
+        self.caches = list(caches)
+        self.batch_size = batch_size
+        self.d_vector = np.asarray(d_vector, np.float32)
+        self.buckets = sorted(buckets, key=lambda b: b.mel_len)
+        self.rng = np.random.default_rng(seed)
+        self.hop = hop
+        self._index: List = []  # (cache, item)
+        for c in self.caches:
+            for it in c.items:
+                if os.path.exists(c._cache_path(it)):
+                    self._index.append((c, it))
+        self._active = list(self._index)
+
+    def __len__(self):
+        return max(1, len(self._active) // self.batch_size)
+
+    def resample_by_loss(self, loss_by_item: Dict[str, float]):
+        names = loss_sorted_resample(loss_by_item)
+        by_name = {it.item_id: (c, it) for c, it in self._index}
+        self._active = [by_name[n] for n in names if n in by_name]
+        if not self._active:
+            self._active = list(self._index)
+
+    def epoch(self, shuffle: bool = True):
+        order = list(self._active)
+        if shuffle:
+            self.rng.shuffle(order)
+        # assign to buckets
+        plans: Dict[Bucket, List] = {b: [] for b in self.buckets}
+        for c, it in order:
+            d = c.load_item(it)
+            if d is None:
+                continue
+            tl, sl = len(d["tokens"]), d["linear"].shape[1]
+            for b in self.buckets:
+                if tl <= b.text_len and sl <= b.mel_len:
+                    plans[b].append((c, it))
+                    break
+        batches = []
+        for b, items in plans.items():
+            for s in range(0, len(items), self.batch_size):
+                chunk = items[s : s + self.batch_size]
+                batches.append((b, chunk))
+        if shuffle:
+            self.rng.shuffle(batches)
+        for b, chunk in batches:
+            yield self.collate(b, chunk)
+
+    def collate(self, b: Bucket, chunk) -> Dict[str, np.ndarray]:
+        n = self.batch_size
+        tokens = np.zeros((n, b.text_len), np.int32)
+        tlens = np.ones((n,), np.int32)
+        linear = np.zeros((n, b.mel_len, 513), np.float32)
+        slens = np.ones((n,), np.int32)
+        pitch = np.zeros((n, 1, b.mel_len), np.float32)
+        energy = np.zeros((n, b.mel_len), np.float32)
+        wav = np.zeros((n, b.mel_len * self.hop, 1), np.float32)
+        lang = np.zeros((n,), np.int32)
+        ids = []
+        for i, (c, it) in enumerate(chunk):
+            d = c.load_item(it)
+            tl = min(len(d["tokens"]), b.text_len)
+            sl = min(d["linear"].shape[1], b.mel_len)
+            tokens[i, :tl] = d["tokens"][:tl]
+            tlens[i] = max(tl, 1)
+            linear[i, :sl] = d["linear"][:, :sl].T
+            slens[i] = max(sl, 1)
+            pitch[i, 0, :sl] = d["pitch"][:sl]
+            energy[i, :sl] = d["energy"][:sl]
+            w = d["wav"][: sl * self.hop]
+            wav[i, : len(w), 0] = w
+            lang[i] = int(d["lang_id"])
+            ids.append(it.item_id)
+        dvec = np.tile(self.d_vector[None], (n, 1))
+        return {
+            "tokens": tokens, "tlens": tlens, "linear": linear, "slens": slens,
+            "pitch": pitch, "energy": energy, "wav": wav, "dvec": dvec,
+            "lang": lang, "ids": ids,
+        }

@@ -1,0 +1,117 @@
+"""ITU-R BS.1770-4 loudness measurement + EBU R128 two-pass normalization.
+
+The reference shells out to ffmpeg's loudnorm filter (two-pass, target -23
+LUFS, LRA 7, TP -2 dBTP, mono — python/audio_norm/model.py:12-51 +
+lib/ffmpeg_normalize). This is a native numpy implementation of the same
+standard: K-weighting (pre-shelf + RLB high-pass biquads), 400 ms gated
+blocks with 75% overlap, absolute -70 LUFS and relative -10 LU gates,
+4x-oversampled true-peak estimate, then linear gain with true-peak limiting.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.signal import lfilter, resample_poly
+
+
+def _k_weighting_coeffs(fs: float):
+    """BS.1770 stage-1 shelf + stage-2 high-pass biquads for sample rate fs."""
+    # Stage 1: spherical-head pre-filter (shelf), spec'd at 48k; re-derived
+    # for fs via the standard bilinear design (ITU-R BS.1770-4 Annex 1).
+    db = 3.999843853973347
+    f0 = 1681.974450955533
+    Q = 0.7071752369554196
+    K = np.tan(np.pi * f0 / fs)
+    Vh = 10.0 ** (db / 20.0)
+    Vb = Vh**0.4996667741545416
+    a0 = 1.0 + K / Q + K * K
+    b_shelf = np.array(
+        [(Vh + Vb * K / Q + K * K) / a0,
+         2.0 * (K * K - Vh) / a0,
+         (Vh - Vb * K / Q + K * K) / a0]
+    )
+    a_shelf = np.array([1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / Q + K * K) / a0])
+
+    # Stage 2: RLB high-pass.
+    f0 = 38.13547087602444
+    Q = 0.5003270373238773
+    K = np.tan(np.pi * f0 / fs)
+    denom = 1.0 + K / Q + K * K
+    b_hp = np.array([1.0, -2.0, 1.0]) / denom
+    a_hp = np.array(
+        [1.0, 2.0 * (K * K - 1.0) / denom, (1.0 - K / Q + K * K) / denom]
+    )
+    return (b_shelf, a_shelf), (b_hp, a_hp)
+
+
+def integrated_loudness(y: np.ndarray, fs: int) -> float:
+    """Gated integrated loudness (LUFS) of mono or (T, C) audio."""
+    if y.ndim == 1:
+        y = y[:, None]
+    (b1, a1), (b2, a2) = _k_weighting_coeffs(fs)
+    z = lfilter(b2, a2, lfilter(b1, a1, y, axis=0), axis=0)
+
+    block = int(0.4 * fs)
+    hop = int(0.1 * fs)
+    if len(z) < block:
+        z = np.pad(z, ((0, block - len(z)), (0, 0)))
+    n_blocks = 1 + (len(z) - block) // hop
+    idx = np.arange(n_blocks)[:, None] * hop + np.arange(block)[None, :]
+    # mean square per block per channel, channel-summed (G_i = 1 for L/R/mono)
+    ms = (z[idx] ** 2).mean(axis=1).sum(axis=1)  # (n_blocks,)
+    lk = -0.691 + 10.0 * np.log10(np.maximum(ms, 1e-12))
+
+    abs_gate = lk > -70.0
+    if not abs_gate.any():
+        return -70.0
+    z_abs = ms[abs_gate].mean()
+    rel_thresh = -0.691 + 10.0 * np.log10(max(z_abs, 1e-12)) - 10.0
+    rel_gate = abs_gate & (lk > rel_thresh)
+    if not rel_gate.any():
+        return -70.0
+    return float(-0.691 + 10.0 * np.log10(ms[rel_gate].mean()))
+
+
+def loudness_range(y: np.ndarray, fs: int) -> float:
+    """EBU R128 LRA: 10th–95th percentile of gated 3 s short-term loudness."""
+    if y.ndim == 1:
+        y = y[:, None]
+    (b1, a1), (b2, a2) = _k_weighting_coeffs(fs)
+    z = lfilter(b2, a2, lfilter(b1, a1, y, axis=0), axis=0)
+    block = int(3.0 * fs)
+    hop = int(1.0 * fs)
+    if len(z) < block:
+        z = np.pad(z, ((0, block - len(z)), (0, 0)))
+    n_blocks = 1 + (len(z) - block) // hop
+    idx = np.arange(n_blocks)[:, None] * hop + np.arange(block)[None, :]
+    ms = (z[idx] ** 2).mean(axis=1).sum(axis=1)
+    st = -0.691 + 10.0 * np.log10(np.maximum(ms, 1e-12))
+    st = st[st > -70.0]
+    if len(st) == 0:
+        return 0.0
+    rel = st[st > st.mean() - 20.0]
+    if len(rel) < 2:
+        return 0.0
+    return float(np.percentile(rel, 95) - np.percentile(rel, 10))
+
+
+def true_peak_db(y: np.ndarray, fs: int) -> float:
+    """4x-oversampled true peak in dBTP."""
+    y4 = resample_poly(y, 4, 1, axis=0) if y.ndim > 1 else resample_poly(y, 4, 1)
+    tp = np.abs(y4).max()
+    return float(20.0 * np.log10(max(tp, 1e-12)))
+
+
+def normalize_ebu_r128(
+    y: np.ndarray,
+    fs: int,
+    target_lufs: float = -23.0,
+    true_peak_limit_db: float = -2.0,
+) -> np.ndarray:
+    """Two-pass loudnorm: measure, gain to target, cap at the true-peak limit
+    (reference audio_norm defaults: I=-23, TP=-2dB, mono)."""
+    il = integrated_loudness(y, fs)
+    gain_db = target_lufs - il
+    tp = true_peak_db(y, fs)
+    headroom = true_peak_limit_db - tp
+    gain_db = min(gain_db, headroom)
+    return (y * 10.0 ** (gain_db / 20.0)).astype(np.float32)

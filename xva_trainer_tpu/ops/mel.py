@@ -45,6 +45,14 @@ def mel_to_hz(mels: np.ndarray) -> np.ndarray:
     return freqs
 
 
+def hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asanyarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asanyarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
 @functools.lru_cache(maxsize=None)
 def mel_filterbank(
     sample_rate: int = 22050,
@@ -53,11 +61,16 @@ def mel_filterbank(
     fmin: float = 0.0,
     fmax: float = 8000.0,
     dtype=np.float32,
+    htk: bool = False,
+    norm: str = "slaney",
 ) -> np.ndarray:
-    """Triangular Slaney-normalized mel filterbank, shape (n_mels, n_fft//2+1).
+    """Triangular mel filterbank, shape (n_mels, n_fft//2+1).
 
-    Matches ``librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax)`` defaults
-    (htk=False, norm='slaney') as used by the reference.
+    Defaults match ``librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax)``
+    (htk=False, norm='slaney') as used by the reference TTS pipelines;
+    htk=True, norm=None matches torchaudio's MelSpectrogram (used by the
+    speaker-encoder frontend, reference
+    python/xvapitch/speaker_representation/main.py:107-118).
     """
     if fmax is None:
         fmax = float(sample_rate) / 2
@@ -66,9 +79,11 @@ def mel_filterbank(
     # FFT bin center frequencies.
     fftfreqs = np.linspace(0.0, float(sample_rate) / 2, n_freqs, dtype=np.float64)
 
+    to_mel = hz_to_mel_htk if htk else hz_to_mel
+    to_hz = mel_to_hz_htk if htk else mel_to_hz
     # n_mels + 2 band edges, uniformly spaced on the mel scale.
-    mel_edges = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    hz_edges = mel_to_hz(mel_edges)
+    mel_edges = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_edges = to_hz(mel_edges)
 
     fdiff = np.diff(hz_edges)
     ramps = hz_edges[:, None] - fftfreqs[None, :]  # (n_mels+2, n_freqs)
@@ -77,9 +92,10 @@ def mel_filterbank(
     upper = ramps[2:] / fdiff[1:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
 
-    # Slaney-style energy normalization: each filter integrates to ~constant.
-    enorm = 2.0 / (hz_edges[2 : n_mels + 2] - hz_edges[:n_mels])
-    weights *= enorm[:, None]
+    if norm == "slaney":
+        # Slaney-style energy normalization: filters integrate to ~constant.
+        enorm = 2.0 / (hz_edges[2 : n_mels + 2] - hz_edges[:n_mels])
+        weights *= enorm[:, None]
 
     return weights.astype(dtype)
 

@@ -1,0 +1,360 @@
+"""Audio data-prep tools: format, normalize, silence ops, padding, noise
+removal, srt split (reference python/{audio_format,audio_norm,silence_cut,
+silence_split,cut_padding,noise_removal,srt_split}/model.py — protocol-
+compatible rewrites on native numpy/scipy DSP instead of ffmpeg/sox
+subprocesses; ffmpeg is used only as an optional fallback for non-wav
+container decode when present)."""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..data.audio_io import load_wav, resample, save_wav, trim_silence_db
+from ..ops.loudness import integrated_loudness, normalize_ebu_r128
+from .base import BaseTool
+
+TARGET_SR = 22050
+
+
+def _ffmpeg() -> Optional[str]:
+    return shutil.which("ffmpeg")
+
+
+def decode_any(path: str, target_sr: int = TARGET_SR) -> Tuple[np.ndarray, int]:
+    """Decode wav natively; other containers via ffmpeg when available."""
+    if path.lower().endswith(".wav"):
+        return load_wav(path, target_sr=target_sr)
+    ff = _ffmpeg()
+    if not ff:
+        raise RuntimeError(
+            f"cannot decode {os.path.splitext(path)[1]} without ffmpeg; "
+            "convert to wav first"
+        )
+    out = subprocess.run(
+        [ff, "-i", path, "-f", "f32le", "-ac", "1", "-ar", str(target_sr), "-"],
+        capture_output=True, check=True,
+    )
+    return np.frombuffer(out.stdout, np.float32).copy(), target_sr
+
+
+def list_audio_files(in_path: str) -> List[str]:
+    exts = (".wav", ".mp3", ".ogg", ".flac", ".m4a", ".opus")
+    if os.path.isfile(in_path):
+        return [in_path]
+    return sorted(
+        os.path.join(in_path, f)
+        for f in os.listdir(in_path)
+        if f.lower().endswith(exts)
+    )
+
+
+class AudioFormatTool(BaseTool):
+    """'formatting': resample to 22050 Hz mono 16-bit wav
+    (reference python/audio_format/model.py:49-118)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, _ = decode_any(f, TARGET_SR)
+            stem = os.path.splitext(os.path.basename(f))[0]
+            save_wav(os.path.join(out_dir, stem + ".wav"), y, TARGET_SR)
+            return stem
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+
+class AudioNormalizeTool(BaseTool):
+    """'normalize': EBU R128 loudness normalization, -23 LUFS / TP -2 dB mono
+    (reference python/audio_norm/model.py:12-51)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, sr = decode_any(f, TARGET_SR)
+            out = normalize_ebu_r128(y, sr)
+            save_wav(os.path.join(out_dir, os.path.basename(f)), out, sr)
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+    def normalize_sync(self, in_path: str, out_path: str) -> str:
+        """Synchronous path used by trainer preprocessing and /exportWav
+        (reference normalize_sync :80-113)."""
+        y, sr = decode_any(in_path, TARGET_SR)
+        save_wav(out_path, normalize_ebu_r128(y, sr), sr)
+        return out_path
+
+
+def _frame_dbfs(y: np.ndarray, frame: int, hop: int) -> np.ndarray:
+    n = max(1, 1 + (len(y) - frame) // hop)
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    idx = np.minimum(idx, len(y) - 1)
+    rms = np.sqrt((y[idx] ** 2).mean(axis=1) + 1e-12)
+    return 20.0 * np.log10(rms + 1e-12)
+
+
+def find_silences(
+    y: np.ndarray, sr: int, threshold_db: float = -40.0, min_s: float = 0.3,
+    frame_ms: float = 20.0,
+) -> List[Tuple[int, int]]:
+    """(start, end) sample ranges of silence ≥ min_s below threshold."""
+    frame = int(sr * frame_ms / 1000)
+    db = _frame_dbfs(y, frame, frame)
+    silent = db < threshold_db
+    out = []
+    start = None
+    for i, s in enumerate(silent):
+        if s and start is None:
+            start = i
+        elif not s and start is not None:
+            if (i - start) * frame >= min_s * sr:
+                out.append((start * frame, i * frame))
+            start = None
+    if start is not None and (len(silent) - start) * frame >= min_s * sr:
+        out.append((start * frame, len(y)))
+    return out
+
+
+class SilenceCutTool(BaseTool):
+    """'silence_cut': shrink silences >300 ms to 300 ms
+    (reference python/silence_cut/model.py:13-54)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        settings = data.get("toolSettings", {})
+        min_s = float(settings.get("maxSilenceMS", 300)) / 1000.0
+        thr = float(settings.get("silenceThresholdDB", -40))
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, sr = decode_any(f, TARGET_SR)
+            keep = int(min_s * sr)
+            sil = find_silences(y, sr, thr, min_s)
+            if not sil:
+                save_wav(os.path.join(out_dir, os.path.basename(f)), y, sr)
+                return
+            pieces, pos = [], 0
+            for s, e in sil:
+                pieces.append(y[pos : s + keep // 2])
+                pos = e - keep // 2
+            pieces.append(y[pos:])
+            save_wav(os.path.join(out_dir, os.path.basename(f)),
+                     np.concatenate(pieces), sr)
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+
+class SilenceSplitTool(BaseTool):
+    """'silence_split': split clips at detected silences
+    (reference python/silence_split/model.py:13-59)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        settings = data.get("toolSettings", {})
+        min_s = float(settings.get("minSilenceDurationMS", 400)) / 1000.0
+        thr = float(settings.get("silenceThresholdDB", -35))
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, sr = decode_any(f, TARGET_SR)
+            sil = find_silences(y, sr, thr, min_s)
+            stem = os.path.splitext(os.path.basename(f))[0]
+            bounds = [0] + [(s + e) // 2 for s, e in sil] + [len(y)]
+            count = 0
+            for i in range(len(bounds) - 1):
+                seg = y[bounds[i] : bounds[i + 1]]
+                if len(seg) > 0.25 * sr:
+                    save_wav(os.path.join(out_dir, f"{stem}_{count:04d}.wav"), seg, sr)
+                    count += 1
+            return count
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+
+class CutPaddingTool(BaseTool):
+    """'cut_padding': trim head/tail silence
+    (reference python/cut_padding/model.py:12-27)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, sr = decode_any(f, TARGET_SR)
+            save_wav(os.path.join(out_dir, os.path.basename(f)),
+                     trim_silence_db(y, top_db=45.0), sr)
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+
+class NoiseRemovalTool(BaseTool):
+    """'noise_removal': spectral-subtraction denoise from a noise-profile clip
+    (native equivalent of sox noiseprof/noisered —
+    reference python/noise_removal/model.py:35-81)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        noise_path = data.get("noiseProfile") or data.get("noisePath")
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        strength = float(data.get("toolSettings", {}).get("strength", 0.25))
+        noise, sr_n = decode_any(noise_path, TARGET_SR)
+        profile = self._profile(noise)
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, sr = decode_any(f, TARGET_SR)
+            save_wav(os.path.join(out_dir, os.path.basename(f)),
+                     self._denoise(y, profile, strength), sr)
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+    @staticmethod
+    def _stft(y, n_fft=1024, hop=256):
+        pad = n_fft // 2
+        y = np.pad(y, (pad, pad), mode="reflect")
+        n = 1 + (len(y) - n_fft) // hop
+        idx = np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]
+        w = np.hanning(n_fft)
+        return np.fft.rfft(y[idx] * w, axis=1), w
+
+    def _profile(self, noise: np.ndarray) -> np.ndarray:
+        spec, _ = self._stft(noise)
+        return np.abs(spec).mean(axis=0)
+
+    def _denoise(self, y: np.ndarray, profile: np.ndarray, strength: float):
+        n_fft, hop = 1024, 256
+        spec, w = self._stft(y)
+        mag = np.abs(spec)
+        # over-subtraction scaled by strength (sox noisered-like behavior)
+        floor = 0.02 * mag
+        cleaned = np.maximum(mag - (1.0 + 4.0 * strength) * profile[None, :], floor)
+        spec = cleaned * np.exp(1j * np.angle(spec))
+        frames = np.fft.irfft(spec, n=n_fft, axis=1) * w
+        out = np.zeros(len(y) + n_fft)
+        wsum = np.zeros(len(y) + n_fft)
+        for i in range(frames.shape[0]):
+            out[i * hop : i * hop + n_fft] += frames[i]
+            wsum[i * hop : i * hop + n_fft] += w**2
+        out = out[n_fft // 2 : n_fft // 2 + len(y)] / np.maximum(
+            wsum[n_fft // 2 : n_fft // 2 + len(y)], 1e-8
+        )
+        return out.astype(np.float32)
+
+
+_SRT_TIME = re.compile(r"(\d+):(\d+):(\d+)[,.](\d+)")
+
+
+def parse_srt(text: str) -> List[Dict]:
+    """[{start, end, text}] from .srt content."""
+    entries = []
+    for block in re.split(r"\n\s*\n", text.strip()):
+        lines = [l.strip() for l in block.splitlines() if l.strip()]
+        if len(lines) < 2 or "-->" not in "".join(lines):
+            continue
+        tl = next(l for l in lines if "-->" in l)
+        times = _SRT_TIME.findall(tl)
+        if len(times) < 2:
+            continue
+
+        def to_s(t):
+            h, m, s, ms = (int(x) for x in t)
+            return h * 3600 + m * 60 + s + ms / 1000.0
+
+        txt = " ".join(lines[lines.index(tl) + 1 :])
+        entries.append({"start": to_s(times[0]), "end": to_s(times[1]), "text": txt})
+    return entries
+
+
+def format_srt(entries: List[Dict]) -> str:
+    def fmt(t):
+        h, rem = divmod(t, 3600)
+        m, s = divmod(rem, 60)
+        ms = int(round((s - int(s)) * 1000))
+        return f"{int(h):02d}:{int(m):02d}:{int(s):02d},{ms:03d}"
+
+    out = []
+    for i, e in enumerate(entries, 1):
+        out.append(f"{i}\n{fmt(e['start'])} --> {fmt(e['end'])}\n{e['text']}\n")
+    return "\n".join(out)
+
+
+class SrtSplitTool(BaseTool):
+    """'srt_split': slice long audio by .srt timestamps into a dataset
+    (reference python/srt_split/model.py:12-100)."""
+
+    async def run(self, data: Dict, websocket=None):
+        audio_path = data.get("inPath") or data["audioFile"]
+        srt_path = data.get("srtPath") or data["srtFile"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(audio_path)
+        os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+        y, sr = decode_any(audio_path, TARGET_SR)
+        with open(srt_path, encoding="utf-8") as f:
+            entries = parse_srt(f.read())
+        stem = os.path.splitext(os.path.basename(audio_path))[0]
+        lines = []
+        for i, e in enumerate(entries):
+            seg = y[int(e["start"] * sr) : int(e["end"] * sr)]
+            if len(seg) < 0.2 * sr:
+                continue
+            name = f"{stem}_{i:05d}.wav"
+            save_wav(os.path.join(out_dir, "wavs", name), seg, sr)
+            lines.append(f"{name}|{e['text']}")
+            self.write_progress(out_dir, i + 1, len(entries))
+        with open(os.path.join(out_dir, "metadata.csv"), "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        await self.done(websocket)
+
+
+class Wem2OggTool(BaseTool):
+    """'wem2ogg': Wwise .wem → .ogg. Requires the ww2ogg binary (the reference
+    ships ww2ogg.exe + codebooks — python/wem2ogg/model.py:36-64); gated here."""
+
+    async def run(self, data: Dict, websocket=None):
+        ww2ogg = shutil.which("ww2ogg") or data.get("ww2oggPath")
+        if not ww2ogg:
+            await self.error(
+                websocket,
+                "ww2ogg binary not found — install it or pass ww2oggPath",
+            )
+            return
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        files = [f for f in list_audio_files(in_path) if f.endswith(".wem")] or [
+            os.path.join(in_path, f)
+            for f in os.listdir(in_path)
+            if f.endswith(".wem")
+        ]
+
+        def work(f):
+            subprocess.run([ww2ogg, f, "-o",
+                            os.path.join(out_dir, os.path.basename(f)[:-4] + ".ogg")],
+                           check=True)
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)

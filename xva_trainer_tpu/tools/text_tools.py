@@ -1,0 +1,226 @@
+"""Transcription, WER evaluation, make_srt, and source separation tools
+(reference python/{transcribe,wer_evaluation,make_srt,
+audio_source_separation}/model.py)."""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.audio_io import resample, save_wav
+from .audio_tools import decode_any, format_srt, list_audio_files
+from .base import BaseTool
+
+
+def wer(reference: str, hypothesis: str) -> float:
+    """Word error rate via Levenshtein distance (native jiwer replacement,
+    reference wer_evaluation/model.py:36-85)."""
+    r = reference.lower().split()
+    h = hypothesis.lower().split()
+    if not r:
+        return 0.0 if not h else 1.0
+    d = np.zeros((len(r) + 1, len(h) + 1), np.int32)
+    d[:, 0] = np.arange(len(r) + 1)
+    d[0, :] = np.arange(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            cost = 0 if r[i - 1] == h[j - 1] else 1
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1, d[i - 1, j - 1] + cost)
+    return float(d[len(r), len(h)]) / len(r)
+
+
+class TranscribeTool(BaseTool):
+    """'transcribe': ASR over a directory → metadata.csv with incremental
+    flush + resume (reference transcribe/model.py:118-257).
+
+    Backend: a local whisper checkpoint via transformers (pass
+    ``toolSettings.modelPath``), or any callable registered with
+    ``set_asr_backend``. Zero-egress environments must provide local weights;
+    without a backend the tool reports a clear tasks_error.
+    """
+
+    _asr_backend = None
+
+    @classmethod
+    def set_asr_backend(cls, fn):
+        """fn(wav_16k: np.ndarray) -> str"""
+        cls._asr_backend = fn
+
+    def _load_backend(self, model_path: Optional[str]):
+        if TranscribeTool._asr_backend is not None:
+            return TranscribeTool._asr_backend
+        if model_path and os.path.exists(model_path):
+            from transformers import pipeline
+
+            asr = pipeline("automatic-speech-recognition", model=model_path)
+
+            def fn(wav16k):
+                return asr({"raw": wav16k, "sampling_rate": 16000})["text"].strip()
+
+            TranscribeTool._asr_backend = fn
+            return fn
+        return None
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or in_path
+        settings = data.get("toolSettings", {})
+        backend = self._load_backend(settings.get("modelPath"))
+        if backend is None:
+            await self.error(
+                websocket,
+                "no ASR backend: pass toolSettings.modelPath (local whisper/"
+                "wav2vec2 weights) or register one via TranscribeTool.set_asr_backend",
+            )
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        meta_path = os.path.join(out_dir, "metadata.csv")
+        existing = {}
+        if os.path.exists(meta_path):  # resume (reference :118-133)
+            with open(meta_path, encoding="utf-8") as f:
+                for line in f:
+                    if "|" in line:
+                        k, v = line.strip().split("|", 1)
+                        existing[k] = v
+        files = list_audio_files(in_path)
+        done = 0
+        for f in files:
+            name = os.path.basename(f)
+            if name in existing:
+                continue
+            y, sr = decode_any(f)
+            text = backend(resample(y, sr, 16000))
+            existing[name] = text
+            done += 1
+            if done % 10 == 0:  # incremental flush every 10 files (:219-257)
+                self._flush(meta_path, existing)
+            self.write_progress(out_dir, done, len(files))
+        self._flush(meta_path, existing)
+        await self.done(websocket)
+
+    @staticmethod
+    def _flush(meta_path, existing):
+        with open(meta_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(f"{k}|{v}" for k, v in existing.items()))
+
+
+class WerEvaluationTool(BaseTool):
+    """'wer_evaluation': WER between user metadata.csv and ASR metadata.csv,
+    sorted report (reference wer_evaluation/model.py:36-85)."""
+
+    async def run(self, data: Dict, websocket=None):
+        user_csv = data.get("userMetadata") or data["inPath"]
+        asr_csv = data.get("asrMetadata") or data["inputDirectory2"]
+        out_path = data.get("outputFile") or os.path.join(
+            os.path.dirname(user_csv), "wer_report.txt"
+        )
+
+        def read_csv(p):
+            out = {}
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    if "|" in line:
+                        k, v = line.strip().split("|", 1)
+                        out[os.path.splitext(k)[0]] = v.split("|")[0]
+            return out
+
+        user = read_csv(user_csv)
+        hyp = read_csv(asr_csv)
+        rows = []
+        for k, ref_text in user.items():
+            if k in hyp:
+                rows.append((wer(ref_text, hyp[k]), k, ref_text, hyp[k]))
+        rows.sort(reverse=True)
+        with open(out_path, "w", encoding="utf-8") as f:
+            for w, k, r, h in rows:
+                f.write(f"{w:.3f} | {k} | {r} | {h}\n")
+        mean_wer = float(np.mean([r[0] for r in rows])) if rows else 0.0
+        await self.task_info(websocket, f"mean WER: {mean_wer:.3f} over {len(rows)} files")
+        await self.done(websocket)
+
+
+class MakeSrtTool(BaseTool):
+    """'make_srt': 16 kHz convert → diarize → transcribe turns → .srt
+    (composite tool, reference make_srt/model.py:49-135)."""
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        files = list_audio_files(in_path)
+
+        from .speaker_tools import _get_encoder, diarize
+
+        enc = _get_encoder(self.models_manager)
+        asr = TranscribeTool(self.logger, self.PROD, self.device, self.models_manager)
+        backend = asr._load_backend(data.get("toolSettings", {}).get("modelPath"))
+
+        for fi, f in enumerate(files):
+            y, sr = decode_any(f)
+            turns = diarize(y, sr, enc)
+            entries = []
+            for t in turns:
+                seg = y[int(t["start"] * sr) : int(t["end"] * sr)]
+                text = (
+                    backend(resample(seg, sr, 16000)) if backend
+                    else f"[speaker_{t['speaker']}]"
+                )
+                entries.append({"start": t["start"], "end": t["end"], "text": text})
+            stem = os.path.splitext(os.path.basename(f))[0]
+            with open(os.path.join(out_dir, stem + ".srt"), "w", encoding="utf-8") as sf:
+                sf.write(format_srt(entries))
+            self.write_progress(out_dir, fi + 1, len(files))
+        await self.done(websocket)
+
+
+class SourceSeparationTool(BaseTool):
+    """'ass': speech enhancement. The reference runs a pretrained Asteroid
+    DCCRNet (audio_source_separation/model.py:16-42); without those weights
+    this applies a native spectral-gating enhancer (per-file noise floor
+    estimate + Wiener-style mask), with a hook for a learned model."""
+
+    _model_backend = None
+
+    @classmethod
+    def set_model_backend(cls, fn):
+        cls._model_backend = fn
+
+    async def run(self, data: Dict, websocket=None):
+        in_path = data.get("inPath") or data["inputDirectory"]
+        out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        os.makedirs(out_dir, exist_ok=True)
+        files = list_audio_files(in_path)
+
+        def work(f):
+            y, sr = decode_any(f)
+            if SourceSeparationTool._model_backend is not None:
+                out = SourceSeparationTool._model_backend(y, sr)
+            else:
+                out = self._spectral_gate(y)
+            save_wav(os.path.join(out_dir, os.path.basename(f)), out, sr)
+
+        await self.run_items(files, work, websocket, out_dir)
+        await self.done(websocket)
+
+    @staticmethod
+    def _spectral_gate(y: np.ndarray, n_fft=1024, hop=256) -> np.ndarray:
+        pad = n_fft // 2
+        yp = np.pad(y, (pad, pad), mode="reflect")
+        n = 1 + (len(yp) - n_fft) // hop
+        idx = np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]
+        w = np.hanning(n_fft)
+        spec = np.fft.rfft(yp[idx] * w, axis=1)
+        mag = np.abs(spec)
+        noise = np.percentile(mag, 10, axis=0)  # per-bin noise floor
+        snr = np.maximum(mag / np.maximum(noise[None, :], 1e-8) - 1.0, 0.0)
+        mask = snr / (snr + 1.0)  # Wiener
+        spec = spec * mask
+        frames = np.fft.irfft(spec, n=n_fft, axis=1) * w
+        out = np.zeros(len(yp))
+        wsum = np.zeros(len(yp))
+        for i in range(n):
+            out[i * hop : i * hop + n_fft] += frames[i]
+            wsum[i * hop : i * hop + n_fft] += w**2
+        out = out / np.maximum(wsum, 1e-8)
+        return out[pad : pad + len(y)].astype(np.float32)

@@ -1,0 +1,392 @@
+"""xVAPitch (v3) trainer: fused G+D adversarial step, stage 1/2 schedule,
+finetune/priors interleave, loss-sorted resampling.
+
+Reference behavior (python/xvapitch/xva_train.py):
+- per micro-step: generator pass then discriminator pass on cached fakes
+  (:652-706 / y_disc_cache trick :663-667) — here ONE jitted XLA program;
+- gradient accumulation gam = ceil(400/batch) (:1142), optimizer step every
+  gam micro-steps; stage 1 or priors batches zero the posterior-encoder and
+  waveform-decoder grads before stepping (:725-727);
+- AdamW gen 1.75e-4 / disc 2e-4, betas (0.8, 0.99), wd 0.01, γ=0.999875/step
+  (training_util.py:4-71);
+- alternate finetune/priors batches with FINETUNE_WEIGHT=20 (:314,882-886);
+- checkpoint every save_step=50 optimizer steps; early stop on the
+  disc-loss-delta window (span 10, targets get_target_delta :499-518,
+  patience 3); stage 1 → 2 → END (:806-842);
+- loss-sorted resampling each epoch (:665-668 + dataset calibrate).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.xva_dataset import XvaBatcher
+from ..models.xvapitch import VitsDiscriminator, XVAPitch, XVAPitchConfig
+from ..models.xvapitch import losses as v_losses
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoints import CheckpointManager, export_xvapitch_v3
+from .early_stop import EarlyStopState
+from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
+
+
+class V3State(struct.PyTreeNode):
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class XvaTrainConfig:
+    output_dir: str = "out_v3"
+    batch_size: int = 16
+    target_bs: int = 400     # reference :1142
+    gen_lr: float = 1.75e-4
+    disc_lr: float = 2e-4
+    lr_gamma: float = 0.999875
+    weight_decay: float = 0.01
+    save_step: int = 50
+    finetune_weight: int = 20
+    do_loss_sorting: bool = True
+    seed: int = 0
+    patience: int = 3
+
+    @property
+    def gam(self) -> int:
+        return max(1, int(np.ceil(self.target_bs / self.batch_size)))
+
+
+def xva_target_deltas(num_data_lines: int) -> List[float]:
+    """reference get_target_delta (:499-518)."""
+    nate_delta, nate_numfiles = 0.0002, 8000
+    mult = nate_numfiles / (num_data_lines * 1.25)
+    if (mult - 1) < 1:
+        td = nate_delta * math.sqrt(mult) / 1.5
+    else:
+        td = nate_delta * math.sqrt(mult - 1) / 1.5
+    return [0.04, td * 0.2]
+
+
+def _zero_module_grads(grads, modules=("posterior_encoder", "waveform_decoder")):
+    """Zero grads of named submodules (stage-1/priors semantics :725-727)."""
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {
+                k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                    if k in modules else walk(v, path + (k,)))
+                for k, v in tree.items()
+            }
+        return tree
+
+    return walk(grads)
+
+
+def make_v3_step(
+    model: XVAPitch,
+    disc: VitsDiscriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    freeze_post_dec: bool,
+):
+    """One jitted micro-step: G loss+grads, D loss+grads on stopped fakes,
+    both optimizer updates (MultiSteps handles gam accumulation)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: V3State, batch, rng):
+        rngs = {
+            "noise": jax.random.fold_in(rng, 0),
+            "segments": jax.random.fold_in(rng, 1),
+            "dropout": jax.random.fold_in(rng, 2),
+        }
+
+        def g_loss_fn(g_params):
+            out = model.apply(
+                g_params, batch["tokens"], batch["tlens"], batch["linear"],
+                batch["slens"], batch["pitch"], batch["energy"], batch["wav"],
+                batch["dvec"], batch["lang"],
+                method=XVAPitch.train_step, rngs=rngs,
+            )
+            s_fake, f_fake, s_real, f_real = disc.apply(
+                state.d_params, out["model_outputs"], out["waveform_seg"]
+            )
+            loss, meta = v_losses.generator_loss(
+                out, s_fake, f_fake, f_real,
+                language_ids=batch["lang"], spec_lengths=batch["slens"],
+            )
+            aux = {
+                "meta": meta,
+                "fake": jax.lax.stop_gradient(out["model_outputs"]),
+                "real": out["waveform_seg"],
+            }
+            return loss, aux
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        ok = jnp.isfinite(g_loss)
+        g_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads
+        )
+        if freeze_post_dec:
+            g_grads = {"params": _zero_module_grads(g_grads["params"])}
+
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        def d_loss_fn(d_params):
+            s_fake, _, s_real, _ = disc.apply(d_params, aux["fake"], aux["real"])
+            loss, _ = v_losses.discriminator_loss(s_real, s_fake)
+            return loss
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        ok_d = jnp.isfinite(d_loss)
+        d_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok_d, g, jnp.zeros_like(g)), d_grads
+        )
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        meta = dict(aux["meta"])
+        meta["loss_disc"] = d_loss
+        return (
+            V3State(
+                g_params=new_g_params, d_params=new_d_params,
+                g_opt=new_g_opt, d_opt=new_d_opt, step=state.step + 1,
+            ),
+            meta,
+        )
+
+    return step
+
+
+class XVAPitchTrainer:
+    def __init__(
+        self,
+        batcher: XvaBatcher,
+        cfg: XvaTrainConfig,
+        model_cfg: XVAPitchConfig = XVAPitchConfig(),
+        mesh=None,
+        logger: Optional[TrainingLogger] = None,
+        priors_batcher: Optional[XvaBatcher] = None,
+    ):
+        self.batcher = batcher
+        self.priors_batcher = priors_batcher
+        self.cfg = cfg
+        self.model = XVAPitch(model_cfg)
+        self.disc = VitsDiscriminator()
+        self.mesh = mesh or make_mesh()
+        self.logger = logger or TrainingLogger(cfg.output_dir)
+        num_lines = len(batcher._index)
+        self.target_deltas = xva_target_deltas(max(num_lines, 1))
+        self.graphs = GraphsWriter(
+            cfg.output_dir, (1, 2),
+            {1: self.target_deltas[0], 2: self.target_deltas[1]},
+        )
+        self.ckpt = CheckpointManager(cfg.output_dir, prefix="xVAPitch")
+        self.meter = ThroughputMeter()
+
+        def sched(lr):
+            return lambda step: lr * cfg.lr_gamma**step
+
+        self.g_tx = optax.MultiSteps(
+            optax.adamw(sched(cfg.gen_lr), b1=0.8, b2=0.99,
+                        weight_decay=cfg.weight_decay),
+            every_k_schedule=cfg.gam,
+        )
+        self.d_tx = optax.MultiSteps(
+            optax.adamw(sched(cfg.disc_lr), b1=0.8, b2=0.99,
+                        weight_decay=cfg.weight_decay),
+            every_k_schedule=cfg.gam,
+        )
+        self._steps = {
+            False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx, False),
+            True: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx, True),
+        }
+        self.stage = 1
+        self.training_iters = 0       # optimizer steps
+        self.micro_steps = 0
+        self.finetune_counter = 0
+        self.finetune_it = True
+        self.loss_sampling: Dict[str, float] = {}
+        self.disc_loss_window: List[float] = []
+        self.disc_loss_per_ckpt: List[List[float]] = [[], []]
+        self.deltas: List[List[float]] = [[], []]
+        self.patience_count = 0
+        self.stop_requested = False
+        self.END_OF_TRAINING = False
+
+    def setup(self, resume: bool = True):
+        b = next(self.batcher.epoch(shuffle=False))
+        rngs = {
+            "params": jax.random.PRNGKey(self.cfg.seed),
+            "noise": jax.random.PRNGKey(self.cfg.seed + 1),
+            "segments": jax.random.PRNGKey(self.cfg.seed + 2),
+            "dropout": jax.random.PRNGKey(self.cfg.seed + 3),
+        }
+        to_j = lambda k: jnp.asarray(b[k])
+        g_params = self.model.init(
+            rngs, to_j("tokens"), to_j("tlens"), to_j("linear"), to_j("slens"),
+            to_j("pitch"), to_j("energy"), to_j("wav"), to_j("dvec"), to_j("lang"),
+        )
+        seg = jnp.zeros(
+            (self.cfg.batch_size,
+             self.model.cfg.spec_segment_size * self.model.cfg.hop_length, 1)
+        )
+        d_params = self.disc.init(jax.random.PRNGKey(self.cfg.seed + 9), seg, seg)
+        state = V3State(
+            g_params=g_params, d_params=d_params,
+            g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if resume:
+            step, state2, host = self.ckpt.restore_latest(state)
+            if step is not None:
+                state = state2
+                if host:
+                    self.stage = host.get("stage", 1)
+                    self.training_iters = host.get("training_iters", int(step))
+                    self.disc_loss_per_ckpt = host.get(
+                        "disc_loss_per_ckpt", self.disc_loss_per_ckpt
+                    )
+                    self.deltas = host.get("deltas", self.deltas)
+                    self.patience_count = host.get("patience_count", 0)
+                self.logger.log(
+                    f"[resume] stage {self.stage} iters {self.training_iters}"
+                )
+        self.state = state
+        return state
+
+    def _next_batch(self, iterators):
+        key = "ft" if (self.finetune_it or self.priors_batcher is None) else "priors"
+        if iterators.get(key) is None:
+            src = self.batcher if key == "ft" else self.priors_batcher
+            iterators[key] = src.epoch()
+        try:
+            return next(iterators[key]), iterators
+        except StopIteration:
+            if key == "ft" and self.cfg.do_loss_sorting and self.loss_sampling:
+                self.batcher.resample_by_loss(self.loss_sampling)
+            src = self.batcher if key == "ft" else self.priors_batcher
+            iterators[key] = src.epoch()
+            return next(iterators[key]), iterators
+
+    def train(self, max_steps: Optional[int] = None) -> Dict:
+        if not hasattr(self, "state"):
+            self.setup()
+        rng = jax.random.PRNGKey(self.cfg.seed + 100)
+        iterators: Dict[str, Any] = {}
+        start = time.perf_counter()
+        self.meter.start()
+        with self.mesh:
+            while not self.stop_requested and not self.END_OF_TRAINING:
+                batch, iterators = self._next_batch(iterators)
+                freeze = (self.stage == 1) or (
+                    not self.finetune_it and self.priors_batcher is not None
+                )
+                dev = shard_batch(self.mesh, batch)
+                rng, sub = jax.random.split(rng)
+                self.state, meta = self._steps[freeze](self.state, dev, sub)
+                self.micro_steps += 1
+                self.meter.add_frames(int(np.sum(batch["slens"])))
+
+                if self.cfg.do_loss_sorting and self.finetune_it:
+                    per = (
+                        np.asarray(meta["per_sample_kl"])
+                        + np.asarray(meta["per_sample_mel"])
+                        + np.asarray(meta.get("per_sample_pitch",
+                                              np.zeros(len(batch["ids"]))))
+                    )
+                    for name, v in zip(batch["ids"], per[: len(batch["ids"])]):
+                        self.loss_sampling[name] = float(v)
+
+                if self.micro_steps % self.cfg.gam == 0:
+                    self.training_iters += 1
+                    fps = self.meter.step()
+                    loss = float(meta["loss"])
+                    disc_loss = float(meta["loss_disc"])
+                    self.disc_loss_window.append(disc_loss)
+                    self.graphs.add_loss(self.stage, self.training_iters, loss)
+                    self.logger.set_status(
+                        f"Stage: {self.stage} | Steps: {self.training_iters} | "
+                        f"Loss: {loss:.4f} | Disc: {disc_loss:.4f} | frames/s {int(fps)}"
+                    )
+                    self.finetune_counter += 1
+                    self.finetune_it = True
+                    if self.finetune_counter >= self.cfg.finetune_weight:
+                        self.finetune_it = False
+                        self.finetune_counter = 0
+
+                    if self.training_iters % self.cfg.save_step == 0:
+                        self._checkpoint_and_early_stop()
+
+                if max_steps and self.training_iters >= max_steps:
+                    break
+        return {
+            "stage": self.stage,
+            "training_iters": self.training_iters,
+            "wall_s": time.perf_counter() - start,
+            "frames_s": self.meter.mean(),
+        }
+
+    def _checkpoint_and_early_stop(self):
+        """Every save_step: record avg disc loss, compute window delta,
+        handle stage transitions (reference :782-858)."""
+        si = self.stage - 1
+        avg_disc = float(np.mean(self.disc_loss_window)) if self.disc_loss_window else 0.0
+        self.disc_loss_window = []
+        loss_delta = 0.0
+        if self.stage <= 2:
+            hist = self.disc_loss_per_ckpt[si]
+            if len(hist) >= 1 and hist[-1] != 0:
+                self.deltas[si].append((hist[-1] - avg_disc) / hist[-1])
+                window = self.deltas[si][-10:]
+                loss_delta = float(np.mean(window))
+                self.graphs.add_delta(
+                    self.stage, self.training_iters, round(loss_delta * 100, 3)
+                )
+            hist.append(avg_disc)
+
+        if loss_delta and loss_delta < self.target_deltas[si]:
+            self.patience_count += 1
+            if self.patience_count >= self.cfg.patience:
+                if self.stage == 1:
+                    self.logger.log("Finished Stage 1. Moving on..")
+                    self.stage = 2
+                    self.patience_count = 0
+                elif self.stage == 2:
+                    self.logger.log("Finished Stage 2. Stopping training.")
+                    self.stage = 3
+                    self.END_OF_TRAINING = True
+        else:
+            self.patience_count = 0
+
+        self.ckpt.save(self.training_iters, self.state, {
+            "stage": self.stage,
+            "training_iters": self.training_iters,
+            "disc_loss_per_ckpt": self.disc_loss_per_ckpt,
+            "deltas": self.deltas,
+            "patience_count": self.patience_count,
+            "frames_s": self.meter.mean(),
+        })
+
+    def export(self, voice_name: str, lang: str = "en", base_emb=None,
+               other_embs=None, out_dir: Optional[str] = None) -> str:
+        out_dir = out_dir or self.cfg.output_dir
+        path = os.path.join(out_dir, f"{voice_name}.pt")
+        export_xvapitch_v3(
+            self.state.g_params["params"], path, voice_name, lang=lang,
+            base_emb=base_emb, other_embs=other_embs,
+        )
+        return path
