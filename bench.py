@@ -47,12 +47,18 @@ def bench_mel(B=64, T=221184, iters=50):
 
 
 def main():
+    import os
+
     extras = {}
-    try:
-        from bench_train import bench_train_steps  # noqa: F401  (lands with trainers)
-        extras = bench_train_steps()
-    except Exception:
-        pass
+    if os.environ.get("XVA_BENCH_TRAIN") == "1":
+        # full train-step benchmarks (several-minute first compile over the
+        # remote-compile tunnel) — see bench_train.py; opt-in for the driver.
+        try:
+            from bench_train import bench_train_steps
+
+            extras = bench_train_steps()
+        except Exception:
+            pass
 
     r = bench_mel()
     line = {

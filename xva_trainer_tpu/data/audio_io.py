@@ -19,7 +19,23 @@ TARGET_SR = 22050
 
 
 def load_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tuple[np.ndarray, int]:
-    """Read a wav → float32 in [-1, 1]; optional mono mixdown + resample."""
+    """Read a wav → float32 in [-1, 1]; optional mono mixdown + resample.
+
+    Uses the native C++ decoder/resampler (xva_trainer_tpu.native) when the
+    library is built; falls back to scipy."""
+    from .. import native
+
+    if mono and native.available():
+        out = native.decode_wav(path)
+        if out is not None:
+            y, sr = out
+            if target_sr is not None and sr != target_sr:
+                y2 = native.resample(y, sr, target_sr)
+                if y2 is not None:
+                    return np.clip(y2, -1.0, 1.0), target_sr
+                y = resample(y, sr, target_sr)
+                sr = target_sr
+            return np.clip(y, -1.0, 1.0), sr
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0

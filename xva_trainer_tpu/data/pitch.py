@@ -25,8 +25,19 @@ def yin_f0(
     fmin: float = FMIN,
     fmax: float = FMAX,
     threshold: float = 0.15,
+    use_native: bool = True,
 ) -> np.ndarray:
-    """f0 per frame (Hz), 0 where unvoiced. Output length = 1 + len(y)//hop."""
+    """f0 per frame (Hz), 0 where unvoiced. Output length = 1 + len(y)//hop.
+
+    Dispatches to the C++ implementation (native.yin_f0) when built."""
+    if use_native:
+        from .. import native
+
+        if native.available():
+            out = native.yin_f0(y, sr, frame_length, hop_length, fmin, fmax,
+                                threshold)
+            if out is not None:
+                return out
     # center-pad like librosa (frames centered on y[t*hop])
     pad = frame_length // 2
     y = np.pad(y.astype(np.float64), (pad, pad), mode="reflect")

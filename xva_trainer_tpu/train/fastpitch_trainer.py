@@ -296,3 +296,31 @@ class FastPitchTrainer:
         path = os.path.join(out_dir, f"{voice_name}.pt")
         export_fastpitch_v2(self.state.params["params"], path, voice_name)
         return path
+
+    def output_samples(self, sentences, out_dir: Optional[str] = None,
+                       mel_max_len: int = 512):
+        """Viz sample wavs from predicted mels via Griffin-Lim
+        (reference output_samples, xva_train.py:1323-1365)."""
+        import jax.numpy as jnp
+
+        from ..data.audio_io import save_wav
+        from ..data.text import TextProcessor
+        from ..models.fastpitch import FastPitch
+        from ..ops.griffin_lim import mel_to_wav
+
+        out_dir = out_dir or os.path.join(self.cfg.output_dir, "viz",
+                                          str(self.total_iter))
+        os.makedirs(out_dir, exist_ok=True)
+        tp = TextProcessor()
+        paths = []
+        for i, text in enumerate(sentences):
+            ids = tp.encode(text)
+            tokens = jnp.asarray(np.pad(ids, (0, max(0, 128 - len(ids))))[:128])[None]
+            out = self.model.apply(self.state.params, tokens,
+                                   method=FastPitch.infer, mel_max_len=mel_max_len)
+            n = int(out["dec_lens"][0])
+            wav = np.asarray(mel_to_wav(out["mel_out"][0][:, :n], n_iter=16))
+            p = os.path.join(out_dir, f"sample_{i}.wav")
+            save_wav(p, wav)
+            paths.append(p)
+        return paths

@@ -381,6 +381,38 @@ class XVAPitchTrainer:
             "frames_s": self.meter.mean(),
         })
 
+    def output_samples(self, sentences, d_vector, out_dir: Optional[str] = None,
+                       lang_id: int = 5, max_frames: int = 512):
+        """Viz sample wavs through the full model (reference :892-895,
+        output_samples :1323-1365, sentences from viz_sentences.json)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.audio_io import save_wav
+        from ..data.text.xva_processor import XvaTextProcessor
+        from ..models.xvapitch import XVAPitch
+
+        out_dir = out_dir or os.path.join(self.cfg.output_dir, "viz",
+                                          str(self.training_iters))
+        os.makedirs(out_dir, exist_ok=True)
+        tp = XvaTextProcessor()
+        dvec = jnp.asarray(np.asarray(d_vector, np.float32))[None]
+        paths = []
+        for i, text in enumerate(sentences):
+            ids = tp.text_to_sequence(text)
+            tokens = jnp.asarray(np.pad(ids, (0, max(0, 128 - len(ids))))[:128])[None]
+            out = self.model.apply(
+                self.state.g_params, tokens, dvec,
+                jnp.asarray([lang_id], jnp.int32),
+                method=XVAPitch.infer, max_frames=max_frames,
+                rngs={"noise": jax.random.PRNGKey(i)},
+            )
+            n = int(out["y_lengths"][0]) * self.model.cfg.hop_length
+            p = os.path.join(out_dir, f"sample_{i}.wav")
+            save_wav(p, np.asarray(out["wav"][0][:n]))
+            paths.append(p)
+        return paths
+
     def export(self, voice_name: str, lang: str = "en", base_emb=None,
                other_embs=None, out_dir: Optional[str] = None) -> str:
         out_dir = out_dir or self.cfg.output_dir
