@@ -30,7 +30,16 @@ def _fastpitch_batch(B, T_TEXT, T_MEL, seed=0):
         tokens[b, :l] = rng.integers(1, 148, l)
     mel_lens = rng.integers(T_MEL // 2, T_MEL + 1, B).astype(np.int32)
     mel = rng.standard_normal((B, T_MEL, 80)).astype(np.float32)
+    # pre-extracted durations (production stage-≥2 path: no per-step MAS)
+    durs = np.zeros((B, T_TEXT), np.float32)
+    for b in range(B):
+        tl, ml = in_lens[b], mel_lens[b]
+        base = np.full(tl, ml // tl, np.float32)
+        base[: ml % tl] += 1
+        durs[b, :tl] = base
+    import jax.numpy as _jnp  # noqa: F811
     return {
+        "durs": _jnp.asarray(durs),
         "tokens": jnp.asarray(tokens),
         "in_lens": jnp.asarray(in_lens),
         "mel": jnp.asarray(mel),
@@ -58,7 +67,7 @@ def bench_fastpitch(B=32, T_TEXT=128, T_MEL=512, iters=10):
     tx = make_fastpitch_optimizer(0.1, 1e-6, 1000)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
-    step = make_stage_step(model, 4, tx)
+    step = make_stage_step(model, 4, tx, use_gt_durs=True)
 
     kl = jnp.asarray(0.0)
     rngs = [jax.random.PRNGKey(i) for i in range(iters + 1)]

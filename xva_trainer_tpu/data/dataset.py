@@ -79,6 +79,25 @@ class FeatureCache:
     def _cache_path(self, item: Utterance) -> str:
         return os.path.join(self.cache_dir, item.item_id + ".npz")
 
+    @property
+    def durs_dir(self) -> str:
+        """Pre-extracted durations (reference durs_arpabet/durs_text dirs,
+        fastpitch1_1/xva_train.py:1120-1168)."""
+        d = os.path.join(self.cache_dir, "durs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def save_durations(self, item_id: str, durs: np.ndarray) -> None:
+        np.save(os.path.join(self.durs_dir, item_id + ".npy"), durs)
+
+    def load_durations(self, item_id: str) -> Optional[np.ndarray]:
+        p = os.path.join(self.durs_dir, item_id + ".npy")
+        return np.load(p) if os.path.exists(p) else None
+
+    def has_durations(self) -> bool:
+        d = os.path.join(self.cache_dir, "durs")
+        return os.path.isdir(d) and len(os.listdir(d)) >= len(self.items)
+
     def build(self, progress: Optional[Callable[[int, int], None]] = None) -> None:
         """Compute features for all items missing from the cache."""
         import jax.numpy as jnp
@@ -188,6 +207,7 @@ class BucketBatcher:
         self.pitch_std = stats["std"] if stats else 1.0
         self.pitch_normalize = pitch_normalize
         self.drop_last = drop_last
+        self.use_durs = False  # flipped on once durations are pre-extracted
 
         # Assign items to buckets once.
         self.assignment: Dict[Bucket, List[Utterance]] = {b: [] for b in self.buckets}
@@ -270,4 +290,16 @@ class BucketBatcher:
         }
         if self.with_prior:
             batch["prior"] = prior
+        if self.use_durs:
+            durs = np.zeros((n, b.text_len), np.float32)
+            complete = True
+            for i, it in enumerate(chunk):
+                d = self.cache.load_durations(it.item_id)
+                if d is None:
+                    complete = False
+                    break
+                tl = min(len(d), b.text_len)
+                durs[i, :tl] = d[:tl]
+            if complete:
+                batch["durs"] = durs
         return batch

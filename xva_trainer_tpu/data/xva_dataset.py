@@ -165,6 +165,46 @@ def get_dataset_embedding(
     return {"main": main.astype(np.float32), "others": others.astype(np.float32)}
 
 
+def get_similar_priors(
+    target_emb: np.ndarray,
+    priors_root: str,
+    top_k: int = 12,
+    speaker_encoder=None,
+) -> List[str]:
+    """Rank priors datasets (<lang>_<name> dirs) by embedding similarity to the
+    finetune voice (reference get_dataset_emb.py get_similar_priors:71-151 —
+    faiss there; jax matmul top-k here)."""
+    import jax.numpy as jnp
+
+    dirs = sorted(
+        os.path.join(priors_root, d)
+        for d in os.listdir(priors_root)
+        if os.path.isdir(os.path.join(priors_root, d))
+        and os.path.exists(os.path.join(priors_root, d, "metadata.csv"))
+    )
+    embs, names = [], []
+    for d in dirs:
+        e = get_dataset_embedding(d, speaker_encoder)["main"]
+        embs.append(e)
+        names.append(d)
+    if not embs:
+        return []
+    E = np.stack(embs)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-8)
+    q = target_emb / max(np.linalg.norm(target_emb), 1e-8)
+    sims = np.asarray(jnp.asarray(E) @ jnp.asarray(q))
+    order = np.argsort(-sims)[:top_k]
+    return [names[i] for i in order]
+
+
+# Default viz sentences (role of the reference's viz_sentences.json)
+VIZ_SENTENCES = [
+    "This is what my voice sounds like.",
+    "The quick brown fox jumps over the lazy dog.",
+    "How much wood would a woodchuck chuck?",
+]
+
+
 def loss_sorted_resample(
     loss_by_item: Dict[str, float], rng: Optional[random.Random] = None
 ) -> List[str]:

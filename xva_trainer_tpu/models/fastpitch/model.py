@@ -211,6 +211,20 @@ class FastPitch(nn.Module):
             "durations": durs,
         }
 
+    def stage2_from_durs(self, tokens, input_lens, durs_gt,
+                         *, deterministic: bool = True):
+        """Duration-predictor stage with pre-extracted durations (no aligner)."""
+        enc_out, enc_mask = self.encoder(tokens, deterministic=deterministic)
+        log_dur_pred = self.duration_predictor(
+            enc_out, enc_mask, deterministic=deterministic
+        )[..., 0]
+        dur_pred = jnp.clip(jnp.exp(log_dur_pred) - 1, 0, self.cfg.max_duration)
+        return {
+            "log_dur_pred": log_dur_pred,
+            "dur_pred": dur_pred,
+            "durations": durs_gt,
+        }
+
     def _pitch_energy(self, enc_out, enc_mask, pitch_dense, energy_dense,
                       dur_tgt, use_gt_pitch, deterministic):
         c = self.cfg

@@ -61,8 +61,16 @@ class FastPitchTrainConfig:
         return max(1, int(np.ceil(self.target_bs / self.batch_size)))
 
 
-def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformation):
-    """Build the jitted train step for a stage. kl_weight is a traced scalar."""
+def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformation,
+                    use_gt_durs: bool = False):
+    """Build the jitted train step for a stage. kl_weight is a traced scalar.
+
+    use_gt_durs: stages ≥2 read pre-extracted durations from the batch instead
+    of re-running the aligner+MAS each step (the reference pre-extracts durs
+    to npy dirs after stage 1 — fastpitch1_1/xva_train.py:1120-1168)."""
+
+    def _alignment_free(out_batch):
+        return dict(durs_gt=out_batch["durs"], run_aligner=False)
 
     def loss_fn(params, batch, kl_weight, rng):
         common = dict(deterministic=False)
@@ -75,16 +83,23 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
             )
             return fp_loss.stage1_loss(out, batch["in_lens"], batch["mel_lens"], kl_weight)
         if stage == 2:
-            out = model.apply(
-                params, batch["tokens"], batch["in_lens"], batch["mel"],
-                batch["mel_lens"], batch["prior"], method=FastPitch.stage2,
-                rngs=rngs, **common,
-            )
+            if use_gt_durs and "durs" in batch:
+                out = model.apply(
+                    params, batch["tokens"], batch["in_lens"], batch["durs"],
+                    method=FastPitch.stage2_from_durs, rngs=rngs, **common,
+                )
+            else:
+                out = model.apply(
+                    params, batch["tokens"], batch["in_lens"], batch["mel"],
+                    batch["mel_lens"], batch["prior"], method=FastPitch.stage2,
+                    rngs=rngs, **common,
+                )
             return fp_loss.stage2_loss(out, batch["in_lens"])
+        kw = _alignment_free(batch) if (use_gt_durs and "durs" in batch) else {}
         out = model.apply(
             params, batch["tokens"], batch["in_lens"], batch["mel"],
             batch["mel_lens"], batch["pitch"], batch["energy"], batch["prior"],
-            rngs=rngs, **common,
+            method=FastPitch.full, rngs=rngs, **kw, **common,
         )
         if stage == 3:
             return fp_loss.stage3_loss(out, batch["mel"], batch["in_lens"])
@@ -168,7 +183,39 @@ class FastPitchTrainer:
             target_delta=self.target_deltas[self.stage],
             min_epochs=fastpitch_min_epochs(self.stage),
         )
-        self._step_fn = make_stage_step(self.model, self.stage, self.tx)
+        use_gt = self.stage >= 2 and self.cache.has_durations()
+        self._step_fn = make_stage_step(self.model, self.stage, self.tx,
+                                        use_gt_durs=use_gt)
+
+    def extract_durations(self, batcher: BucketBatcher) -> int:
+        """After stage 1: run the aligner once over the dataset, caching
+        per-item durations (reference extract_durations :1120-1168), so
+        stages ≥2 skip the aligner+MAS in every step."""
+        import functools as _ft
+
+        @_ft.partial(jax.jit)
+        def align(params, tokens, in_lens, mel, mel_lens, prior):
+            out = self.model.apply(
+                params, tokens, in_lens, mel, mel_lens, prior,
+                method=FastPitch.stage1,
+            )
+            return out["durations"]
+
+        count = 0
+        with self.mesh:
+            for batch in batcher.epoch(shuffle=False):
+                dev = shard_batch(self.mesh, batch)
+                durs = np.asarray(
+                    align(self.state.params, dev["tokens"], dev["in_lens"],
+                          dev["mel"], dev["mel_lens"], dev["prior"])
+                )
+                for i, item_id in enumerate(batch["ids"]):
+                    tl = int(batch["in_lens"][i])
+                    self.cache.save_durations(item_id, durs[i, :tl])
+                    count += 1
+        batcher.use_durs = True
+        self.logger.log(f"[durations] extracted for {count} items")
+        return count
 
     def setup(self, batcher: BucketBatcher, resume: bool = True):
         params = self._init_params(batcher)
@@ -277,8 +324,12 @@ class FastPitchTrainer:
             self.setup(batcher)
         start = time.perf_counter()
         for _ in range(max_epochs):
+            prev_stage = self.stage
             losses, rng = self.run_epoch(batcher, rng)
             all_done = self.finish_epoch(losses)
+            if prev_stage == 1 and self.stage == 2:
+                self.extract_durations(batcher)
+                self._stage_objects()  # rebuild step with use_gt_durs
             if all_done or self.stop_requested:
                 break
             if max_iters and self.total_iter >= max_iters:
