@@ -129,8 +129,17 @@ _G2P_REGISTRY: Dict[str, Callable[[str], List[str]]] = {}
 
 
 def register_g2p(lang: str, fn: Callable[[str], List[str]]) -> None:
-    """Plug a real per-language G2P (eSpeak/epitran equivalent)."""
+    """Plug a per-language G2P returning xVAARPAbet phones directly."""
     _G2P_REGISTRY[lang] = fn
+
+
+def register_ipa_g2p(lang: str, fn: Callable[[str], str]) -> None:
+    """Plug a per-language G2P returning an IPA string (the eSpeak/epitran
+    interface) — routed through the reference-parity IPA→xVAARPAbet mapping
+    (ipa.py; reference fill_missing_via_g2p text_preprocessing.py:304-448)."""
+    from .ipa import ipa_to_xvaarpabet
+
+    _G2P_REGISTRY[lang] = lambda word: ipa_to_xvaarpabet(fn(word))
 
 
 def get_text_preprocessor(lang: str, base_dir: Optional[str] = None) -> XvaTextProcessor:
