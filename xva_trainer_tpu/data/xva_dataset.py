@@ -259,6 +259,7 @@ class XvaBatcher:
                 if os.path.exists(c._cache_path(it)):
                     self._index.append((c, it))
         self._active = list(self._index)
+        self._lengths: Dict[str, tuple] = {}  # item_id -> (text_len, spec_len)
 
     def __len__(self):
         return max(1, len(self._active) // self.batch_size)
@@ -274,13 +275,18 @@ class XvaBatcher:
         order = list(self._active)
         if shuffle:
             self.rng.shuffle(order)
-        # assign to buckets
+        # assign to buckets, memoizing lengths so each npz is read only once
+        # across all epochs (bucketing itself is cheap integer work)
         plans: Dict[Bucket, List] = {b: [] for b in self.buckets}
         for c, it in order:
-            d = c.load_item(it)
-            if d is None:
-                continue
-            tl, sl = len(d["tokens"]), d["linear"].shape[1]
+            lens = self._lengths.get(it.item_id)
+            if lens is None:
+                d = c.load_item(it)
+                if d is None:
+                    continue
+                lens = (len(d["tokens"]), d["linear"].shape[1])
+                self._lengths[it.item_id] = lens
+            tl, sl = lens
             for b in self.buckets:
                 if tl <= b.text_len and sl <= b.mel_len:
                     plans[b].append((c, it))
@@ -297,6 +303,12 @@ class XvaBatcher:
 
     def collate(self, b: Bucket, chunk) -> Dict[str, np.ndarray]:
         n = self.batch_size
+        # Partial tail chunks: repeat real items to fill the static batch.
+        # All-zero dummy rows would inject silence gradients into the mel L1,
+        # adversarial and discriminator losses every epoch.
+        ids = [it.item_id for _, it in chunk]
+        if 0 < len(chunk) < n:
+            chunk = [chunk[i % len(chunk)] for i in range(n)]
         tokens = np.zeros((n, b.text_len), np.int32)
         tlens = np.ones((n,), np.int32)
         linear = np.zeros((n, b.mel_len, 513), np.float32)
@@ -305,7 +317,6 @@ class XvaBatcher:
         energy = np.zeros((n, b.mel_len), np.float32)
         wav = np.zeros((n, b.mel_len * self.hop, 1), np.float32)
         lang = np.zeros((n,), np.int32)
-        ids = []
         for i, (c, it) in enumerate(chunk):
             d = c.load_item(it)
             tl = min(len(d["tokens"]), b.text_len)
@@ -319,7 +330,6 @@ class XvaBatcher:
             w = d["wav"][: sl * self.hop]
             wav[i, : len(w), 0] = w
             lang[i] = int(d["lang_id"])
-            ids.append(it.item_id)
         dvec = np.tile(self.d_vector[None], (n, 1))
         return {
             "tokens": tokens, "tlens": tlens, "linear": linear, "slens": slens,

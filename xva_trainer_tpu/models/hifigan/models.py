@@ -148,7 +148,13 @@ class Generator(nn.Module):
 
 
 class DiscriminatorP(nn.Module):
-    """Period discriminator on (B, T, 1) audio folded to (B, T/p, p, 1)."""
+    """Period discriminator on (B, T, 1) audio folded to (B, T/p, p, 1).
+
+    Padding is the torch-exact symmetric (k-1)//2 per conv (reference
+    python/hifigan/models.py:141-177 / python/xvapitch/hifigan.py:301-360) —
+    'SAME' would distribute padding differently under stride and break
+    checkpoint-import forward parity.
+    """
 
     period: int
     kernel_size: int = 5
@@ -163,25 +169,55 @@ class DiscriminatorP(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
             T = T + pad
         x = x.reshape(B, T // p, p, C)
+        kpad = ((self.kernel_size - 1) // 2,) * 2
         fmap = []
         for ch in (32, 128, 512, 1024):
             x = nn.WeightNorm(
-                nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1), padding="SAME")
+                nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                        padding=(kpad, (0, 0)))
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.WeightNorm(nn.Conv(1024, (self.kernel_size, 1), padding="SAME"))(x)
+        x = nn.WeightNorm(
+            nn.Conv(1024, (self.kernel_size, 1), padding=(kpad, (0, 0)))
+        )(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = nn.WeightNorm(nn.Conv(1, (3, 1), padding="SAME"))(x)
+        x = nn.WeightNorm(nn.Conv(1, (3, 1), padding=((1, 1), (0, 0))))(x)
         fmap.append(x)
         return x.reshape(B, -1), fmap
 
 
+# v2 MSD scale discriminator (reference python/hifigan/models.py:207-216):
+# (channels, kernel, stride, groups, padding)
+V2_SCALE_SPECS = (
+    (128, 15, 1, 1, 7),
+    (128, 41, 2, 4, 20),
+    (256, 41, 2, 16, 20),
+    (512, 41, 4, 16, 20),
+    (1024, 41, 4, 16, 20),
+    (1024, 41, 1, 16, 20),
+    (1024, 5, 1, 1, 2),
+)
+
+# v3 (xVAPitch) scale discriminator (reference python/xvapitch/model.py:1560-1568)
+V3_SCALE_SPECS = (
+    (16, 15, 1, 1, 7),
+    (64, 41, 4, 4, 20),
+    (256, 41, 4, 16, 20),
+    (1024, 41, 4, 64, 20),
+    (1024, 41, 4, 256, 20),
+    (1024, 5, 1, 1, 2),
+)
+
+
 class DiscriminatorS(nn.Module):
-    """Scale discriminator on raw (possibly pooled) audio."""
+    """Scale discriminator on raw (possibly pooled) audio.
+
+    Explicit torch-parity padding per conv (see DiscriminatorP note)."""
 
     use_spectral_norm: bool = False
+    specs: tuple = V2_SCALE_SPECS
 
     @nn.compact
     def __call__(self, x, *, update_sn_stats: bool = False):
@@ -190,19 +226,11 @@ class DiscriminatorS(nn.Module):
                 return nn.SpectralNorm(conv)
             return nn.WeightNorm(conv)
 
-        specs = [
-            (128, 15, 1, 1),
-            (128, 41, 2, 4),
-            (256, 41, 2, 16),
-            (512, 41, 4, 16),
-            (1024, 41, 4, 16),
-            (1024, 41, 1, 16),
-            (1024, 5, 1, 1),
-        ]
         fmap = []
-        for ch, k, s, g in specs:
+        for ch, k, s, g, p in self.specs:
             conv = nn.Conv(
-                ch, (k,), strides=(s,), feature_group_count=g, padding="SAME"
+                ch, (k,), strides=(s,), feature_group_count=g,
+                padding=((p, p),),
             )
             if self.use_spectral_norm:
                 x = norm(conv)(x, update_stats=update_sn_stats)
@@ -210,7 +238,7 @@ class DiscriminatorS(nn.Module):
                 x = norm(conv)(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        post = nn.Conv(1, (3,), padding="SAME")
+        post = nn.Conv(1, (3,), padding=((1, 1),))
         if self.use_spectral_norm:
             x = norm(post)(x, update_stats=update_sn_stats)
         else:

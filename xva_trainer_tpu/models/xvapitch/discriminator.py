@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from ..hifigan.models import DiscriminatorP, DiscriminatorS
+from ..hifigan.models import DiscriminatorP, DiscriminatorS, V3_SCALE_SPECS
 
 
 class VitsDiscriminator(nn.Module):
@@ -14,8 +14,12 @@ class VitsDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x, x_hat=None):
         """x: fake (or sole) waveform (B, T, 1); x_hat: real waveform.
-        Returns (x_scores, x_feats, x_hat_scores, x_hat_feats)."""
-        nets = [DiscriminatorS(use_spectral_norm=False)] + [
+        Returns (x_scores, x_feats, x_hat_scores, x_hat_feats).
+
+        The scale disc uses the v3 channel/stride spec (16→64→256→1024,
+        stride 4 — reference python/xvapitch/model.py:1560-1568), which
+        differs from the v2 HiFi-GAN MSD disc."""
+        nets = [DiscriminatorS(use_spectral_norm=False, specs=V3_SCALE_SPECS)] + [
             DiscriminatorP(p) for p in self.periods
         ]
         x_scores, x_feats = [], []

@@ -176,7 +176,8 @@ class RelativePositionTransformer(nn.Module):
                 self.dropout_p,
             )(x, attn_mask, deterministic=deterministic)
             y = nn.Dropout(self.dropout_p)(y, deterministic=deterministic)
-            x = nn.LayerNorm()(x + y)
+            # eps 1e-4: reference glow_tts LayerNorm (type "1", :8-29)
+            x = nn.LayerNorm(epsilon=1e-4)(x + y)
 
             last = (i + 1) == self.num_layers
             ffn_out = self.out_channels if last else self.hidden_channels
@@ -186,11 +187,12 @@ class RelativePositionTransformer(nn.Module):
             y = nn.Dropout(self.dropout_p)(y, deterministic=deterministic)
             if last and self.hidden_channels != self.out_channels:
                 x = _conv1d(self.out_channels, name="proj")(x)
-            # reference skips the final norm when out_channels == 1
+            # reference (glow_tts.py:480-483): when out_channels == 1 the
+            # last layer skips the norm AND drops the FFN residual entirely —
+            # the final output is proj(x); y is dead compute (params kept for
+            # checkpoint parity).
             if self.out_channels != 1 or not last:
-                x = nn.LayerNorm()(x + y)
-            else:
-                x = x + y
+                x = nn.LayerNorm(epsilon=1e-4)(x + y)
         return x * x_mask
 
 
@@ -259,11 +261,13 @@ class DilatedDepthSeparableConv(nn.Module):
                 self.channels, (self.kernel_size,), kernel_dilation=(dilation,),
                 feature_group_count=self.channels, padding="SAME",
             )(x * x_mask)
-            y = nn.LayerNorm()(y)
-            y = nn.gelu(y)
+            # eps 1e-5: reference sdp.py LayerNorm2 (:24-34); exact (erf)
+            # gelu — torch F.gelu default, not the tanh approximation
+            y = nn.LayerNorm(epsilon=1e-5)(y)
+            y = nn.gelu(y, approximate=False)
             y = nn.Conv(self.channels, (1,))(y)
-            y = nn.LayerNorm()(y)
-            y = nn.gelu(y)
+            y = nn.LayerNorm(epsilon=1e-5)(y)
+            y = nn.gelu(y, approximate=False)
             y = nn.Dropout(self.dropout_p)(y, deterministic=deterministic)
             x = x + y
         return x * x_mask

@@ -46,7 +46,9 @@ def kl_loss(z_p, logs_q, m_p, logs_p, z_mask):
     kl = kl + 0.5 * (z_p - m_p) ** 2 * jnp.exp(-2.0 * logs_p)
     kl = kl * z_mask
     per_sample = kl.sum(axis=(1, 2))
-    return per_sample.sum() / jnp.maximum(z_mask.sum() * z_p.shape[-1], 1.0), per_sample
+    # Normalize by frame count only (reference losses.py:103 divides by
+    # sum(z_mask), NOT frames*channels — the KL term is per-frame).
+    return per_sample.sum() / jnp.maximum(z_mask.sum(), 1.0), per_sample
 
 
 def language_prediction_loss(lang_prediction, language_ids, spec_lengths):

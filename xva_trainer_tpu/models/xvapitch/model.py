@@ -43,7 +43,10 @@ class XVAPitchConfig:
     big: bool = True
     pitch: bool = True
     energy: bool = False
-    mltts_rc: bool = True     # language-adversarial reversal classifier
+    # language-adversarial reversal classifier — off in the app path
+    # (reference get_argparse --mltts_rc default 0, xva_train.py:1108), and
+    # the shipped base checkpoint carries no classifier params.
+    mltts_rc: bool = False
     pe_scaling: float = 0.1   # pitch conditioning scale (inference parity)
     lang_w: float = 1.0
     d_vector_dim: int = 512
@@ -55,8 +58,10 @@ class XVAPitchConfig:
     upsample_kernel_sizes: tuple = (16, 16, 4, 4)
     upsample_initial_channel: int = 512
     resblock_kernel_sizes: tuple = (3, 7, 11)
-    # inference
-    inference_noise_scale: float = 0.333
+    # inference: the reference forces inference_noise_scale=0 right before
+    # sampling (reference model.py:549-550), so app-parity synthesis is
+    # deterministic at the prior mean; 0.333 is opt-in only.
+    inference_noise_scale: float = 0.0
     inference_noise_scale_dp: float = 0.333
     length_scale: float = 1.0
 

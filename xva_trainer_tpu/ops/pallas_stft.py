@@ -264,7 +264,7 @@ def _mel_pallas_1d(
 
     mel = outs[0][:num_frames, : cfg.n_mels].T  # (n_mels, T)
     if return_linear:
-        lin = outs[1][:num_frames, :n_freqs].T  # (n_freqs, T)
+        lin = outs[1][:num_frames, : cfg.n_freqs].T  # (n_freqs, T)
         return mel, lin
     return mel
 

@@ -93,6 +93,19 @@ def _zero_module_grads(grads, modules=("posterior_encoder", "waveform_decoder"))
     return walk(grads)
 
 
+def _zero_module_updates(updates, modules=("posterior_encoder", "waveform_decoder")):
+    """Zero the optimizer *updates* of frozen submodules.
+
+    Zeroing grads alone is not enough: decoupled weight decay (wd=0.01) would
+    still shrink the pretrained posterior/decoder every step. The reference
+    (torch zero_grad(set_to_none=True)) skips those params entirely, so the
+    frozen params must receive exactly zero update.
+    """
+    if isinstance(updates, dict) and "params" in updates:
+        return {**updates, "params": _zero_module_grads(updates["params"], modules)}
+    return _zero_module_grads(updates, modules)
+
+
 def make_v3_step(
     model: XVAPitch,
     disc: VitsDiscriminator,
@@ -143,6 +156,8 @@ def make_v3_step(
             g_grads = {"params": _zero_module_grads(g_grads["params"])}
 
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        if freeze_post_dec:
+            g_updates = _zero_module_updates(g_updates)
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
         def d_loss_fn(d_params):
@@ -287,6 +302,7 @@ class XVAPitchTrainer:
             self.setup()
         rng = jax.random.PRNGKey(self.cfg.seed + 100)
         iterators: Dict[str, Any] = {}
+        pending_losses: List = []
         start = time.perf_counter()
         self.meter.start()
         with self.mesh:
@@ -302,16 +318,20 @@ class XVAPitchTrainer:
                 self.meter.add_frames(int(np.sum(batch["slens"])))
 
                 if self.cfg.do_loss_sorting and self.finetune_it:
-                    per = (
-                        np.asarray(meta["per_sample_kl"])
-                        + np.asarray(meta["per_sample_mel"])
-                        + np.asarray(meta.get("per_sample_pitch",
-                                              np.zeros(len(batch["ids"]))))
-                    )
-                    for name, v in zip(batch["ids"], per[: len(batch["ids"])]):
-                        self.loss_sampling[name] = float(v)
+                    # Stay async: build the per-sample total lazily on device
+                    # and only pull to host at the optimizer-step boundary —
+                    # a per-micro-step transfer would serialize dispatch.
+                    per = meta["per_sample_kl"] + meta["per_sample_mel"]
+                    if "per_sample_pitch" in meta:
+                        per = per + meta["per_sample_pitch"]
+                    pending_losses.append((batch["ids"], per))
 
                 if self.micro_steps % self.cfg.gam == 0:
+                    for ids, per_dev in pending_losses:
+                        per_host = np.asarray(jax.device_get(per_dev))
+                        for name, v in zip(ids, per_host[: len(ids)]):
+                            self.loss_sampling[name] = float(v)
+                    pending_losses = []
                     self.training_iters += 1
                     fps = self.meter.step()
                     loss = float(meta["loss"])
