@@ -13,6 +13,8 @@ path being verified.
 from __future__ import annotations
 
 import importlib.util
+import re
+import os
 import sys
 import types
 import warnings
@@ -37,20 +39,64 @@ def _fake_jit(*a, **k):
 
 
 def install_stubs():
+    import numpy as _np
+
+    def _pad_center(data, size=None, axis=-1, **kw):
+        size = size if size is not None else kw.get("size")
+        n = data.shape[axis]
+        lpad = (size - n) // 2
+        widths = [(0, 0)] * data.ndim
+        widths[axis] = (lpad, size - n - lpad)
+        return _np.pad(data, widths)
+
+    def _normalize(S, norm=_np.inf, axis=0, **kw):
+        mag = _np.abs(S).astype(float)
+        length = mag.max(axis=axis, keepdims=True)
+        length[length == 0] = 1.0
+        return S / length
+
     _stub("numba", jit=_fake_jit, prange=range)
-    lu = _stub("librosa.util")
-    _stub("librosa", util=lu)
+    lu = _stub("librosa.util", pad_center=_pad_center, normalize=_normalize,
+               tiny=lambda x: _np.finfo(float).tiny)
+    lf = _stub("librosa.filters")
+    # real Slaney mel filterbank from our DSP core — the reference's
+    # TacotronSTFT calls librosa.filters.mel at module init
+    from xva_trainer_tpu.ops.mel import mel_filterbank
+
+    lf.mel = lambda sr=22050, n_fft=1024, n_mels=80, fmin=0.0, fmax=8000.0, **kw: (
+        mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    )
+    lib = _stub("librosa", util=lu, filters=lf)
+    lib.__path__ = []  # mark as package so `librosa.filters` imports resolve
     _stub("unidecode", unidecode=lambda s: s)
     _stub("g2pc", G2pC=object)
+
+    class _H2p:
+        def __init__(self, *a, **kw):
+            pass
+
+        def replace_het(self, text):
+            return text
+
     _stub("h2p_parser")
-    _stub("h2p_parser.h2p", H2p=object)
+    _stub("h2p_parser.h2p", H2p=_H2p)
     _stub("num2words", num2words=lambda *a, **k: "")
     _stub("pykakasi", kakasi=object)
     _stub("epitran", Epitran=object)
     _stub("nltk", download=lambda *a, **k: None)
     _stub("nltk.tokenize", word_tokenize=lambda s: s.split())
 
+    # inflect replica backed by our self-contained number wording, so the
+    # reference pipeline produces real (comparable) number expansions
+    from xva_trainer_tpu.data.text import en_numbers_v3 as _env3
+
     class _Engine:
+        def number_to_words(self, n, andword="", zero="zero", group=0, **kw):
+            s = str(n).strip()
+            if re.match(r"^[0-9,]+(st|nd|rd|th)$", s):
+                return _env3.ordinal_words(int(re.sub(r"[a-z,]", "", s)))
+            return _env3.number_to_words(s, zero=zero, group=group)
+
         def __getattr__(self, k):
             return lambda *a, **kk: ""
 
@@ -66,7 +112,8 @@ def load_ref_module(rel_path: str, name: str):
     if key in _cache:
         return _cache[key]
     install_stubs()
-    path_dirs = [f"{REF}/xvapitch", f"{REF}/xvapitch/text"]
+    own_dir = os.path.dirname(f"{REF}/{rel_path}")
+    path_dirs = [own_dir, f"{REF}/xvapitch", f"{REF}/xvapitch/text"]
     added = [d for d in path_dirs if d not in sys.path]
     sys.path[:0] = added
     warnings.filterwarnings("ignore", category=SyntaxWarning)

@@ -10,13 +10,16 @@ from xva_trainer_tpu.data.text.xva_processor import (
 
 
 def test_basic_english_ipa():
-    assert ipa_to_xvaarpabet("həˈloʊ") == ["HH", "AH0", "L", "OW1"]
-    assert ipa_to_xvaarpabet("θɪŋk") == ["TH", "IH", "NG", "K"]
+    # space-separated IPA phones, reference-verified outputs
+    assert ipa_to_xvaarpabet("t ˈɛ s t") == ["T", "EH1", "S", "T"]
+    assert ipa_to_xvaarpabet("θ ˈɪ ŋ k ɪ ŋ") == [
+        "TH", "IH1", "NG", "K", "IH", "NG"
+    ]
 
 
 def test_stress_attaches_forward():
-    out = ipa_to_xvaarpabet("ˈθɪŋkɪŋ")
-    assert out[1] == "IH1" and out[4] == "IH"
+    out = ipa_to_xvaarpabet("h ˈʌ l oʊ")
+    assert out == ["HH", "AH1", "L", "OW"]
 
 
 def test_non_english_symbols_resolve():

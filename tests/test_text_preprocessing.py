@@ -1,0 +1,120 @@
+"""Golden parity: our multilingual text front end vs the reference pipeline.
+
+The reference preprocessor runs here with cache-only G2P
+(override_useAnyG2P=False — the shipped on-disk caches cover the test
+sentences), identity transliteration, and heteronyms disabled, and ours is
+configured identically. Token id sequences must match exactly.
+"""
+import numpy as np
+import pytest
+
+from xva_trainer_tpu.data.text.preprocessing import (
+    XvaTextPreprocessor,
+    get_text_preprocessor,
+    ro_normalize_numbers,
+    wolof_g2p,
+)
+
+REF_TEXT_DIR = "/root/reference/python/xvapitch/text"
+
+SENTENCES = {
+    "en": [
+        "Hello world, this is a test.",
+        "I have 25 dollars and 3 cats!",
+        "The dragon returned in 1984.",
+        "Doctor, what is that? A question mark; indeed.",
+        "Mr. Smith paid $5.50 yesterday.",
+    ],
+    # languages must have both their dict and g2p cache shipped in the
+    # reference tree; cache-miss words drop identically in both pipelines
+    "it": ["la casa è grande.", "il cane corre!"],
+    "ro": ["el este aici.", "o casă mare."],
+    "da": ["det er godt.", "jeg er glad!"],
+    "sv": ["det är bra.", "jag är glad!"],
+    "tr": ["bu iyi bir gün.", "evet, tamam!"],
+}
+
+
+@pytest.fixture(scope="module")
+def ref_tp_module():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from ref_loader import load_ref_module
+
+    return load_ref_module("xvapitch/text/text_preprocessing.py",
+                           "ref_textprep")
+
+
+@pytest.mark.parametrize("lang", sorted(SENTENCES))
+def test_sequence_parity(ref_tp_module, lang):
+    ref_tp = ref_tp_module.get_text_preprocessor(
+        lang, REF_TEXT_DIR, override_useAnyG2P=False
+    )
+    ours = XvaTextPreprocessor(lang, base_dir=REF_TEXT_DIR,
+                               use_heteronyms=False)
+    for sentence in SENTENCES[lang]:
+        seq_ref, cleaned_ref = ref_tp.text_to_sequence(sentence)
+        seq_ours, cleaned_ours = ours.text_to_sequence(sentence)
+        assert cleaned_ours == cleaned_ref, (
+            lang, sentence, cleaned_ours, cleaned_ref
+        )
+        assert seq_ours == list(seq_ref), (lang, sentence)
+
+
+def test_vocab_matches_reference(ref_tp_module):
+    ours = XvaTextPreprocessor("en", base_dir=REF_TEXT_DIR)
+    assert list(ref_tp_module.ALL_SYMBOLS) == list(ours.symbols)
+
+
+def test_arpabet_braces_passthrough(ref_tp_module):
+    ref_tp = ref_tp_module.get_text_preprocessor(
+        "en", REF_TEXT_DIR, override_useAnyG2P=False
+    )
+    ours = XvaTextPreprocessor("en", base_dir=REF_TEXT_DIR,
+                               use_heteronyms=False)
+    s = "Say {HH AH0 L OW1} to the world."
+    seq_ref, cr = ref_tp.text_to_sequence(s)
+    seq_ours, co = ours.text_to_sequence(s)
+    assert co == cr
+    assert seq_ours == list(seq_ref)
+
+
+def test_custom_dict_priority(ref_tp_module):
+    """The xvadict custom dict words must resolve via the custom dict."""
+    ref_tp = ref_tp_module.get_text_preprocessor(
+        "en", REF_TEXT_DIR, override_useAnyG2P=False
+    )
+    ours = XvaTextPreprocessor("en", base_dir=REF_TEXT_DIR,
+                               use_heteronyms=False)
+    import json
+    import os
+
+    with open(os.path.join(REF_TEXT_DIR, "dicts/xvadict-elder_scrolls.json"),
+              encoding="utf8") as f:
+        data = json.load(f)
+    word = next(w for w, e in data["data"].items() if e.get("enabled"))
+    s = f"I saw {word} today."
+    seq_ref, cr = ref_tp.text_to_sequence(s)
+    seq_ours, co = ours.text_to_sequence(s)
+    assert co == cr
+
+
+def test_wolof_rule_g2p():
+    tp = XvaTextPreprocessor("wo", base_dir=REF_TEXT_DIR)
+    # rule-based G2P fills cache misses
+    seq, cleaned = tp.text_to_sequence("xamul yoon")
+    assert seq, cleaned
+    assert wolof_g2p("ndank") != "ndank"
+
+
+def test_ro_numbers():
+    assert ro_normalize_numbers("am 3 mere") == "am trei mere"
+    assert ro_normalize_numbers("21") == "douăzeci și unu"
+    assert ro_normalize_numbers("105") == "o sută cinci"
+
+
+def test_factory_caches():
+    a = get_text_preprocessor("en", REF_TEXT_DIR)
+    b = get_text_preprocessor("en", REF_TEXT_DIR)
+    assert a is b

@@ -18,6 +18,8 @@ TINY = XVAPitchConfig(
     upsample_initial_channel=32,
     resblock_kernel_sizes=(3,),
     spec_segment_size=8,
+    mltts_rc=True,          # exercise the reversal classifier (off by default
+                            # for app/base-checkpoint parity)
 )
 
 B, T_TEXT, T_SPEC = 2, 9, 24

@@ -1,138 +1,142 @@
-"""IPA → xVAARPAbet conversion.
+"""IPA → xVAARPAbet conversion, exact to the reference implementation.
 
-Behavioral parity with reference python/xvapitch/text/ipa_to_xvaarpabet.py
-(ipa2xvaarpabet :724-820 + the vendored public `phonecodes` translation
-tables): greedy longest-match IPA→ARPAbet translation, stress/tone digits
-attached to vowels, manual replacement tables for 20+ languages, and the
-compound-phone splitting loop. The mapping tables live in
-ipa_mappings.json (data extracted from the reference's tables — they are
-interoperability vocabulary, index-compatible with shipped models).
-
-Any IPA-producing G2P (eSpeak-NG, epitran, dictionaries, the reference's own
-g2p caches) can feed this to hit the exact 524-token vocabulary.
+The shipped v3 models tokenize text through this conversion
+(reference python/xvapitch/text/ipa_to_xvaarpabet.py:714-812 ipa2xvaarpabet,
+built on the public phonecodes DP translator), so its behavior — including
+its quirks (stress digits only attach to phonecode-translated vowels; OOV
+symbols resolve through the manual tables after a greedy ARPAbet peel) — is
+an interop contract. Tables live in ipa_tables.json (extracted
+interoperability data, like the 524-symbol vocabulary). Golden tests run the
+shipped g2p caches through both implementations.
 """
 from __future__ import annotations
 
 import functools
 import json
 import os
-import re
-from typing import Dict, List
+from typing import Dict, List, Sequence, Set, Tuple
+
+_HERE = os.path.dirname(__file__)
 
 
 @functools.lru_cache(maxsize=None)
 def _tables():
-    path = os.path.join(os.path.dirname(__file__), "ipa_mappings.json")
-    with open(path, encoding="utf-8") as f:
-        d = json.load(f)
-    # longest-first keys for greedy matching (drop degenerate empty keys)
-    ipa_keys = sorted(
-        (k for k in d["ipa2arpabet"] if k), key=len, reverse=True
+    with open(os.path.join(_HERE, "ipa_tables.json"), encoding="utf8") as f:
+        t = json.load(f)
+    return t
+
+
+def _translate_string(s: str, d: Dict[str, str]) -> Tuple[List[str], List[bool]]:
+    """Min-cost segmentation of ``s`` into dictionary symbols (phonecodes
+    translate_string semantics: cost 1 per translated symbol, 10 per OOV
+    character)."""
+    N = len(s)
+    symcost, oovcost = 1, 10
+    maxsym = max((len(k) for k in d), default=1)
+    # lattice[n] = (cost, back, out_symbol, translated)
+    lattice: List[Tuple[int, int, str, bool]] = [(0, 0, "", True)]
+    for n in range(1, N + 1):
+        lattice.append((oovcost + lattice[n - 1][0], n - 1, s[n - 1:n], False))
+        for m in range(1, min(n + 1, maxsym + 1)):
+            seg = s[n - m:n]
+            if seg in d and symcost + lattice[n - m][0] < lattice[n][0]:
+                lattice[n] = (symcost + lattice[n - m][0], n - m, d[seg], True)
+    out, translated = [], []
+    n = N
+    while n > 0:
+        out.append(lattice[n][2])
+        translated.append(lattice[n][3])
+        n = lattice[n][1]
+    return out[::-1], translated[::-1]
+
+
+def _attach_tones_to_vowels(il: List[str], tones: str, vowels: Set[str],
+                            searchstep: int, catdir: int) -> List[str]:
+    """Attach stress-digit symbols to the nearest following vowel symbol
+    (phonecodes attach_tones_to_vowels semantics, including its index
+    behavior after removal)."""
+    ol = list(il)
+    v = 0 if searchstep > 0 else len(ol) - 1
+    t = -1
+    while 0 <= v < len(ol):
+        if (ol[v] in vowels or (len(ol[v]) > 1 and ol[v][0] in vowels)) and t >= 0:
+            ol[v] = ol[v] + ol[t] if catdir >= 0 else ol[t] + ol[v]
+            ol = ol[:t] + ol[t + 1:]
+            t = -1
+        if v < len(ol) and ol[v] in tones:
+            t = v
+        v += searchstep
+    return ol
+
+
+def phonecode_ipa2arpabet(ipa_string: str) -> str:
+    t = _tables()
+    il, _ = _translate_string(ipa_string, t["ipa2arpabet"])
+    return "".join(
+        _attach_tones_to_vowels(il, "012", set(t["arpabet_vowels"]), 1, 1)
     )
-    return d, ipa_keys
-
-
-@functools.lru_cache(maxsize=None)
-def _arpabet_symbols():
-    from .symbols import xva_symbols
-
-    # base ARPAbet inventory = everything before the punctuation block
-    syms = xva_symbols()
-    out = []
-    for s in syms:
-        if s in (".", ",", "!", "?", "-", ";", ":", "—"):
-            break
-        out.append(s)
-    return out
-
-
-def _translate_greedy(ipa: str) -> List[str]:
-    """Greedy longest-match IPA→ARPAbet (phonecodes translate_string)."""
-    d, ipa_keys = _tables()
-    table: Dict[str, str] = d["ipa2arpabet"]
-    out: List[str] = []
-    i = 0
-    while i < len(ipa):
-        ch = ipa[i]
-        if ch in " \t":
-            out.append(" ")
-            i += 1
-            continue
-        matched = False
-        for k in ipa_keys:
-            if ipa.startswith(k, i):
-                out.append(table[k])
-                i += len(k)
-                matched = True
-                break
-        if not matched:
-            out.append(ch)  # handled later by the manual tables
-            i += 1
-    return out
-
-
-def _attach_stress(tokens: List[str]) -> List[str]:
-    """Attach stress digits to the FOLLOWING vowel (IPA ˈ/ˌ precede the
-    stressed syllable); an existing lexical digit is replaced."""
-    d, _ = _tables()
-    vowels = set(d["arpabet_vowels"])
-    bases = {v.rstrip("012") for v in vowels} | set(vowels)
-    out: List[str] = []
-    pending_stress: str = ""
-    for t in tokens:
-        if t in "012":
-            pending_stress = t
-            continue
-        if pending_stress and (t in vowels or t.rstrip("012") in bases and t[:1] in "AEIOU"):
-            t = t.rstrip("012") + pending_stress
-            pending_stress = ""
-        out.append(t)
-    return out
-
-
-def _resolve_unknown(chunk: str, manual: Dict[str, str],
-                     arpabet_set, by_len) -> List[str]:
-    """Resolve a run of untranslated IPA chars via the manual tables
-    (longest-prefix), peeling any ARPAbet symbols that appear inline."""
-    manual_keys = sorted((k for k in manual if k), key=len, reverse=True)
-    phones: List[str] = []
-    while chunk:
-        for k in manual_keys:
-            if chunk.startswith(k):
-                phones.extend(manual[k].split(" "))
-                chunk = chunk[len(k):]
-                break
-        else:
-            for p in by_len:
-                if chunk.startswith(p):
-                    phones.append(p)
-                    chunk = chunk[len(p):]
-                    break
-            else:
-                chunk = chunk[1:]  # unmappable mark — drop
-    return [p for p in phones if p in arpabet_set]
 
 
 def ipa_to_xvaarpabet(ipa_text: str) -> List[str]:
-    """IPA string → list of xVAARPAbet phones."""
-    d, _ = _tables()
-    ipa_text = ipa_text.replace("ː", " ").replace("ˈ", "1").replace("ˌ", "2")
-    tokens = _attach_stress(_translate_greedy(ipa_text))
+    """Space-separated IPA phones → list of xVAARPAbet symbols (exact
+    reference ipa2xvaarpabet behavior; the reference returns the joined
+    string)."""
+    t = _tables()
+    arpabet_symbols: List[str] = t["arpabet_symbols"]
+    arpabet_set = set(arpabet_symbols)
+    manual_replace: Dict[str, str] = t["manual_replace"]
+    ignore_replace: Dict[str, str] = t["manual_ignore_replace"]
 
-    arpabet = _arpabet_symbols()
-    arpabet_set = set(arpabet)
-    by_len = sorted(arpabet, key=len, reverse=True)
-    manual = {**d["manual_replace"], **d["manual_ignore_replace"]}
+    ipa_text = ipa_text.replace("ː", " ")
+    pc = phonecode_ipa2arpabet(ipa_text)
 
-    phones: List[str] = []
-    pending = ""  # run of untranslated raw chars (may be multi-codepoint keys)
-    for t in tokens + [" "]:
-        if t in arpabet_set or t == " ":
-            if pending:
-                phones.extend(_resolve_unknown(pending, manual, arpabet_set, by_len))
-                pending = ""
-            if t != " ":
-                phones.append(t)
-        else:
-            pending += t
-    return phones
+    for k, v in ignore_replace.items():
+        pc = pc.replace(k, v)
+        pc = pc.replace("  ", "").replace("  ", "").strip()
+
+    phones_final: List[str] = []
+    for phone in pc.split(" "):
+        phone = phone.strip()
+        if not phone:
+            continue
+        if phone in arpabet_set:
+            phones_final.append(phone)
+            continue
+        # greedy peel: repeatedly strip leading ARPAbet symbols in list
+        # order, then fall back to the manual table (digits stripped after
+        # the third round) — order and repeat counts are part of the
+        # reference contract
+        for outer_i in range(5):
+            phone = phone.strip()
+            for _ in range(5):
+                if phone:
+                    for ap in arpabet_symbols:
+                        if phone and phone.startswith(ap):
+                            phones_final.append(ap)
+                            phone = phone[len(ap):]
+                            if phone in arpabet_set:
+                                phones_final.append(phone)
+                                phone = ""
+            if phone:
+                if outer_i > 2:
+                    phone = (phone.replace("0", "").replace("1", "")
+                             .replace("2", "").replace("3", ""))
+                if phone in manual_replace:
+                    phones_final.append(manual_replace[phone])
+                    phone = ""
+                else:
+                    for _ in range(3):
+                        for mk in manual_replace:
+                            if phone and phone.startswith(mk):
+                                phones_final.append(manual_replace[mk])
+                                phone = phone[len(mk):]
+                                if phone in manual_replace:
+                                    phones_final.append(manual_replace[phone])
+                                    phone = ""
+
+    mpr: Dict[str, str] = t["manual_phone_replacements"]
+    return [mpr.get(p, p) for p in phones_final]
+
+
+# Back-compat alias used elsewhere in the package
+ipa2xvaarpabet = ipa_to_xvaarpabet

@@ -44,6 +44,7 @@ class Rule:
     kind: str = "id"
     scale_path: Optional[FlaxPath] = None  # wn kinds: path of the WeightNorm scale
     tshape: Optional[Tuple[int, ...]] = None  # export reshape for 'flat'
+    collection: str = "params"  # flax variable collection (e.g. batch_stats)
 
 
 # ---------------- layout primitives ----------------
@@ -138,10 +139,12 @@ def apply_import(
     *,
     strict: bool = True,
 ) -> Dict:
-    """Flat torch state dict -> nested flax params (under key "params")."""
-    out: Dict = {}
+    """Flat torch state dict -> nested flax variables ({"params": ..., and
+    any other collections named by the rules, e.g. "batch_stats"})."""
+    out: Dict = {"params": {}}
     missing: List[str] = []
     for r in rules:
+        coll = out.setdefault(r.collection, {})
         if r.kind.startswith("wn_"):
             gk, vk = r.torch_key + ".weight_g", r.torch_key + ".weight_v"
             if gk not in sd or vk not in sd:
@@ -150,18 +153,18 @@ def apply_import(
             w = _wn_combine_torch(np.asarray(sd[gk]), np.asarray(sd[vk]))
             wf = _t2f(w, r.kind[3:])
             kernel, scale = _wn_decompose_flax(wf)
-            _set_path(out, r.flax_path, np.ascontiguousarray(kernel))
-            _set_path(out, r.scale_path, scale)
+            _set_path(coll, r.flax_path, np.ascontiguousarray(kernel))
+            _set_path(coll, r.scale_path, scale)
         else:
             if r.torch_key not in sd:
                 missing.append(r.torch_key)
                 continue
             w = np.asarray(sd[r.torch_key], np.float32)
-            _set_path(out, r.flax_path,
+            _set_path(coll, r.flax_path,
                       np.ascontiguousarray(_t2f(w, r.kind)).astype(np.float32))
     if missing and strict:
         raise KeyError(f"{len(missing)} torch keys missing: {missing[:8]} ...")
-    return {"params": out}
+    return out
 
 
 def apply_export(
@@ -170,10 +173,13 @@ def apply_export(
     *,
     dtype=np.float16,
 ) -> "OrderedDict[str, np.ndarray]":
-    """Nested flax params -> flat torch-named state dict."""
-    tree = params.get("params", params)
+    """Nested flax variables -> flat torch-named state dict."""
     out: "OrderedDict[str, np.ndarray]" = OrderedDict()
     for r in rules:
+        if r.collection == "params":
+            tree = params.get("params", params)
+        else:
+            tree = params[r.collection]
         if r.kind.startswith("wn_"):
             kernel = np.asarray(_get_path(tree, r.flax_path))
             scale = np.asarray(_get_path(tree, r.scale_path))

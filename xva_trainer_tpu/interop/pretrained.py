@@ -16,13 +16,7 @@ import numpy as np
 
 from .mapping import apply_import
 from .torch_io import load_torch_pt
-from .xvapitch_map import (
-    hifigan_decoder_rules,
-    period_disc_rules,
-    scale_disc_rules,
-    vits_disc_rules,
-    xvapitch_generator_rules,
-)
+from .xvapitch_map import vits_disc_rules, xvapitch_generator_rules
 
 
 def _overlay(template: Dict, imported: Dict) -> Dict:
@@ -88,67 +82,60 @@ def load_xvapitch_base(
     return g, d
 
 
-def v2_generator_rules():
-    """Standalone v2 HiFi-GAN generator (reference python/hifigan/models.py:81-138):
-    weight-normed conv_pre/conv_post (with bias), no cond layer."""
-    return hifigan_decoder_rules(
-        tp="", fp=(), cond=False, pre_post_weight_norm=True, post_bias=True,
-    )
-
-
-def _strip_prefix_rules(rules, strip="."):
-    # rules built with tp="" produce keys like ".conv_pre.weight" — normalize
-    out = []
-    for r in rules:
-        tk = r.torch_key.lstrip(".")
-        out.append(
-            type(r)(tk, r.flax_path, r.kind, scale_path=r.scale_path,
-                    tshape=r.tshape)
-        )
-    return out
-
-
 def load_hifigan_generator(path: str, template: Optional[Dict] = None):
     """g_ checkpoint -> flax Generator params (reference utils.py load g_)."""
+    from .hifigan_map import v2_generator_rules
+
     ckpt = load_torch_pt(path)
     sd = ckpt.get("generator", ckpt)
-    rules = _strip_prefix_rules(v2_generator_rules())
-    params = apply_import(sd, rules, strict=True)
+    params = apply_import(sd, v2_generator_rules(), strict=True)
     if template is not None:
         params = {"params": _overlay(template["params"], params["params"])}
     return params
 
 
-def v2_discriminator_rules():
-    """do_ checkpoint: mpd.discriminators.N + msd.discriminators.N ->
-    flax HifiganDiscriminator (MultiPeriodDiscriminator_0 + MultiScaleDiscriminator_0).
+def load_hifigan_discriminators(path: str, template: Optional[Dict] = None):
+    """do_ checkpoint -> flax HifiganDiscriminator variables
+    {'params': ..., 'batch_stats': ...} plus host metadata (steps/epoch).
 
-    The MSD's first sub-disc uses spectral norm in both frameworks; its
-    torch params (weight_orig/weight_u/...) do not map onto the flax
-    power-iteration state, so it is imported via effective-weight
-    recombination too.
-    """
-    rules = []
-    for j in range(5):
-        rules += period_disc_rules(
-            f"mpd.discriminators.{j}",
-            ("MultiPeriodDiscriminator_0", f"DiscriminatorP_{j}"),
-        )
-    for j in range(1, 3):  # weight-normed MSD discs
-        rules += scale_disc_rules(
-            f"msd.discriminators.{j}",
-            ("MultiScaleDiscriminator_0", f"DiscriminatorS_{j}"),
-            7,
-        )
-    return rules
+    MPD + the two weight-normed MSD discs map by rules; the spectral-normed
+    MSD disc 0 maps via effective-weight + sigma import
+    (hifigan_map.import_msd_spectral)."""
+    from .hifigan_map import import_msd_spectral, v2_mpd_rules, v2_msd_wn_rules
+
+    ckpt = load_torch_pt(path)
+    sd = {}
+    for group in ("mpd", "msd"):
+        for k, v in ckpt[group].items():
+            sd[f"{group}.{k}"] = v
+    params = apply_import(sd, v2_mpd_rules() + v2_msd_wn_rules(), strict=True)
+    s_params, s_stats = import_msd_spectral(sd)
+    msd = params["params"].setdefault("MultiScaleDiscriminator_0", {})
+    msd["DiscriminatorS_0"] = s_params
+    variables = {
+        "params": params["params"],
+        "batch_stats": {
+            "MultiScaleDiscriminator_0": {"DiscriminatorS_0": s_stats}
+        },
+    }
+    if template is not None:
+        variables["params"] = _overlay(template["params"], variables["params"])
+    meta = {k: ckpt[k] for k in ("steps", "epoch") if k in ckpt}
+    return variables, meta
 
 
 def load_speaker_encoder(path: str, template: Optional[Dict] = None):
+    """speaker_rep.pt -> flax variables {'params', 'batch_stats'}
+    (reference speaker_representation/main.py:226-261 load)."""
     from .speaker_map import speaker_encoder_rules
 
     ckpt = load_torch_pt(path)
     sd = ckpt.get("model", ckpt)
-    params = apply_import(sd, speaker_encoder_rules(), strict=True)
+    variables = apply_import(sd, speaker_encoder_rules(), strict=True)
     if template is not None:
-        params = {"params": _overlay(template["params"], params["params"])}
-    return params
+        variables["params"] = _overlay(template["params"], variables["params"])
+        if "batch_stats" in template:
+            variables["batch_stats"] = _overlay(
+                template["batch_stats"], variables["batch_stats"]
+            )
+    return variables

@@ -148,39 +148,39 @@ def hifigan_decoder_rules(
     python/hifigan/models.py:81-138; flax models.hifigan.Generator naming:
     Conv_0=pre [maybe wrapped], Conv_1=cond, ConvTranspose_i=ups,
     ResBlock1_m, Conv_last=post)."""
+    def j(name: str) -> str:
+        return f"{tp}.{name}" if tp else name
+
     rules: List[Rule] = []
     conv_idx = 0
     if pre_post_weight_norm:
-        rules += _wn_conv(f"{tp}.conv_pre", fp, f"Conv_{conv_idx}",
-                          "WeightNorm_0")
+        rules += _wn_conv(j("conv_pre"), fp, f"Conv_{conv_idx}", "WeightNorm_0")
         wn_idx = 1
     else:
-        rules += _plain_conv(f"{tp}.conv_pre", fp + (f"Conv_{conv_idx}",))
+        rules += _plain_conv(j("conv_pre"), fp + (f"Conv_{conv_idx}",))
         wn_idx = 0
     conv_idx += 1
     if cond:
-        rules += _plain_conv(f"{tp}.cond_layer", fp + (f"Conv_{conv_idx}",))
+        rules += _plain_conv(j("cond_layer"), fp + (f"Conv_{conv_idx}",))
         conv_idx += 1
     for i in range(num_ups):
         rules += _wn_conv(
-            f"{tp}.ups.{i}", fp, f"ConvTranspose_{i}",
+            j(f"ups.{i}"), fp, f"ConvTranspose_{i}",
             f"WeightNorm_{wn_idx + i}", kind="wn_convT1d",
         )
-        for j in range(num_kernels):
-            m = i * num_kernels + j
+        for jj in range(num_kernels):
+            m = i * num_kernels + jj
             rb = fp + (f"ResBlock1_{m}",)
             for c in range(3):  # three dilations
-                rules += _wn_conv(f"{tp}.resblocks.{m}.convs1.{c}", rb,
+                rules += _wn_conv(j(f"resblocks.{m}.convs1.{c}"), rb,
                                   f"Conv_{2 * c}", f"WeightNorm_{2 * c}")
-                rules += _wn_conv(f"{tp}.resblocks.{m}.convs2.{c}", rb,
+                rules += _wn_conv(j(f"resblocks.{m}.convs2.{c}"), rb,
                                   f"Conv_{2 * c + 1}", f"WeightNorm_{2 * c + 1}")
     if pre_post_weight_norm:
-        rules += _wn_conv(f"{tp}.conv_post", fp, f"Conv_{conv_idx}",
+        rules += _wn_conv(j("conv_post"), fp, f"Conv_{conv_idx}",
                           f"WeightNorm_{wn_idx + num_ups}", bias=post_bias)
-        if not post_bias:
-            pass
     else:
-        rules += _plain_conv(f"{tp}.conv_post", fp + (f"Conv_{conv_idx}",),
+        rules += _plain_conv(j("conv_post"), fp + (f"Conv_{conv_idx}",),
                              bias=post_bias)
     return rules
 

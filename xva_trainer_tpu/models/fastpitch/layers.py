@@ -56,7 +56,7 @@ class ConvReLUNorm(nn.Module):
     def __call__(self, x, *, deterministic: bool):
         x = Conv1d(self.features, self.kernel_size)(x)
         x = nn.relu(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
@@ -109,7 +109,7 @@ class MultiHeadAttn(nn.Module):
         vec = jnp.einsum("bhqk,bkhd->bqhd", prob, v).reshape(B, T, -1)
         out = nn.Dense(C, use_bias=False, name="o_net")(vec)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm()(x + out)
+        return nn.LayerNorm(epsilon=1e-5)(x + out)
 
 
 class PositionwiseConvFF(nn.Module):
@@ -125,7 +125,7 @@ class PositionwiseConvFF(nn.Module):
         h = nn.relu(h)
         h = Conv1d(x.shape[-1], self.kernel_size)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm()(x + h)
+        return nn.LayerNorm(epsilon=1e-5)(x + h)
 
 
 class FFTransformer(nn.Module):

@@ -97,15 +97,20 @@ class ResNetSpeakerEncoder(nn.Module):
     proj_dim: int = EMB_DIM
 
     @nn.compact
-    def __call__(self, wav: jnp.ndarray, l2_norm: bool = False) -> jnp.ndarray:
-        """wav (B, T) at 16 kHz → (B, 512)."""
-        x = spk_mel_spectrogram(wav)  # (B, 64, T')
+    def __call__(self, wav: jnp.ndarray, l2_norm: bool = False,
+                 *, spectrogram: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """wav (B, T) at 16 kHz → (B, 512). Pass ``spectrogram`` (B, 64, T')
+        to skip the on-device mel frontend (reference use_torch_spec=False)."""
+        if spectrogram is None:
+            x = spk_mel_spectrogram(wav)  # (B, 64, T')
+        else:
+            x = spectrogram
         x = jnp.log(x + 1e-6)
         # instance norm over time per mel channel (affine-free)
         mean = x.mean(axis=2, keepdims=True)
         var = x.var(axis=2, keepdims=True)
         x = (x - mean) / jnp.sqrt(var + 1e-5)
-        x = x[..., None].transpose(0, 1, 2, 3)  # (B, 64, T', 1) NHWC (H=mel)
+        x = x[..., None]  # (B, 64, T', 1) NHWC (H=mel)
 
         x = nn.Conv(self.num_filters[0], (3, 3), padding=1)(x)
         x = nn.relu(x)
@@ -114,15 +119,17 @@ class ResNetSpeakerEncoder(nn.Module):
             for j in range(nl):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = SEBasicBlock(nf, stride)(x)
-        # (B, 8, T'', 256) → (B, T'', 8*256)
+        # (B, 8, T'', 256) NHWC → (B, T'', 256*8) with torch's (C-major, H)
+        # flatten order: reference reshapes (B, C, H, T) to (B, C*H, T)
+        # (main.py:204), so channel index = c*H + h.
         B, H, T2, C = x.shape
-        x = x.transpose(0, 2, 1, 3).reshape(B, T2, H * C)
+        x = x.transpose(0, 2, 3, 1).reshape(B, T2, C * H)
 
         # attentive statistics pooling over time
         w = nn.Conv(128, (1,))(x)
         w = nn.relu(w)
         w = nn.BatchNorm(use_running_average=True)(w)
-        w = nn.Conv(H * C, (1,))(w)
+        w = nn.Conv(C * H, (1,))(w)
         w = jax.nn.softmax(w, axis=1)
         mu = jnp.sum(x * w, axis=1)
         sg = jnp.sqrt(jnp.clip(jnp.sum(x**2 * w, axis=1) - mu**2, min=1e-5))
@@ -136,8 +143,16 @@ class ResNetSpeakerEncoder(nn.Module):
 class SpeakerEncoder:
     """Host-facing wrapper: init, 10-crop embedding (reference :226-261)."""
 
-    def __init__(self, params=None, seed: int = 0):
+    def __init__(self, params=None, seed: int = 0,
+                 weights_path: Optional[str] = None):
+        import os
+
         self.model = ResNetSpeakerEncoder()
+        weights_path = weights_path or os.environ.get("XVA_SPEAKER_REP")
+        if params is None and weights_path and os.path.exists(weights_path):
+            from ...interop.pretrained import load_speaker_encoder
+
+            params = load_speaker_encoder(weights_path)
         if params is None:
             wav = jnp.zeros((1, 16000))
             params = self.model.init(jax.random.PRNGKey(seed), wav)
@@ -145,6 +160,12 @@ class SpeakerEncoder:
         self._embed = jax.jit(
             lambda p, w: self.model.apply(p, w, l2_norm=True)
         )
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "SpeakerEncoder":
+        """Load the reference's speaker_rep.pt weights
+        (reference speaker_representation/main.py:226-261)."""
+        return cls(weights_path=path)
 
     def compute_embedding(
         self, wav16k: np.ndarray, num_frames: int = 250, num_eval: int = 10

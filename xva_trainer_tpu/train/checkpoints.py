@@ -90,6 +90,28 @@ def _to_numpy_fp16(params) -> Dict:
     return jax.tree_util.tree_map(conv, params)
 
 
+def xvapitch_state_dict(g_params, d_params=None, *, step: Optional[int] = None):
+    """Flax params -> the reference's flat torch-named fp16 state dict
+    (what xVASynth ``load_state_dict``s — reference xva_train.py:984-1022:
+    ``torch.save(model_half.state_dict(), ...)``, which includes the
+    ``disc.*`` subtree since the discriminator is a submodule)."""
+    from ..interop.mapping import apply_export
+    from ..interop.xvapitch_map import (
+        UNUSED_TORCH_DEFAULTS,
+        vits_disc_rules,
+        xvapitch_generator_rules,
+    )
+
+    sd = apply_export(g_params, xvapitch_generator_rules(), dtype=np.float16)
+    for k, (kind, shape) in UNUSED_TORCH_DEFAULTS.items():
+        sd[k] = (np.ones if kind == "ones" else np.zeros)(shape, np.float16)
+    if d_params is not None:
+        sd.update(apply_export(d_params, vits_disc_rules(), dtype=np.float16))
+    if step is not None:
+        sd["step"] = np.asarray(step, np.int64)
+    return sd
+
+
 def export_fastpitch_v2(
     params,
     out_path: str,
@@ -100,8 +122,10 @@ def export_fastpitch_v2(
 ) -> None:
     """xVASynth v2 export: fp16 ``.pt`` + metadata ``.json``
     (reference fastpitch1_1/xva_train.py:1030-1047)."""
-    sd = _to_numpy_fp16(params)
-    torch_save_compatible({"model": sd, "format": "xva_trainer_tpu"}, out_path)
+    from ..interop.fastpitch_map import fastpitch_state_dict
+
+    sd = fastpitch_state_dict(params)
+    torch_save_compatible(sd, out_path)
     meta = {
         "version": "2.0",
         "modelVersion": "2.0",
@@ -131,17 +155,21 @@ def export_xvapitch_v3(
     author: str = "",
     base_emb: Optional[np.ndarray] = None,
     other_embs: Optional[list] = None,
+    d_params=None,
+    lang_capabilities: Optional[list] = None,
 ) -> None:
-    """xVASynth v3 export (reference python/xvapitch/xva_train.py:984-1022)."""
-    sd = _to_numpy_fp16(params)
-    torch_save_compatible({"model": sd, "format": "xva_trainer_tpu"}, out_path)
+    """xVASynth v3 export (reference python/xvapitch/xva_train.py:984-1022):
+    the flat torch-named fp16 state dict, loadable by the reference
+    ``xVAPitchModel.load_state_dict`` directly."""
+    sd = xvapitch_state_dict(params, d_params)
+    torch_save_compatible(sd, out_path)
     meta = {
         "version": "3.0",
         "modelVersion": "3.0",
         "modelType": "xVAPitch",
         "author": author,
         "lang": lang,
-        "lang_capabilities": [lang],
+        "lang_capabilities": lang_capabilities or [lang],
         "games": [
             {
                 "gameId": game_id,

@@ -217,8 +217,26 @@ class FastPitchTrainer:
         self.logger.log(f"[durations] extracted for {count} items")
         return count
 
-    def setup(self, batcher: BucketBatcher, resume: bool = True):
+    def setup(self, batcher: BucketBatcher, resume: bool = True,
+              pretrained_ckpt: Optional[str] = None):
+        """Init; resume from orbax if present, else warm-start from a
+        reference torch FastPitch checkpoint (the v2 base model role,
+        reference fastpitch1_1/xva_train.py:1054-1079)."""
         params = self._init_params(batcher)
+        if pretrained_ckpt and resume and self.ckpt.latest_step() is None:
+            from ..interop.fastpitch_map import load_fastpitch_checkpoint
+
+            loaded, meta = load_fastpitch_checkpoint(
+                pretrained_ckpt, template=params
+            )
+            params = loaded
+            if "training_stage" in meta:
+                self.stage = int(meta["training_stage"])
+                self._stage_objects()
+            self.logger.log(
+                f"[warm start] {os.path.basename(pretrained_ckpt)} "
+                f"(stage {self.stage})"
+            )
         state = TrainState(
             params=params,
             opt_state=self.tx.init(params),

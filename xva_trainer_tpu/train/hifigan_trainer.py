@@ -224,7 +224,11 @@ class HifiganTrainer:
         self.total_iter = 0
         self.stop_requested = False
 
-    def setup(self, resume: bool = True):
+    def setup(self, resume: bool = True, pretrained_g: Optional[str] = None,
+              pretrained_do: Optional[str] = None):
+        """Init params; resume from orbax if present, else warm-start from the
+        reference's torch g_/do_ checkpoints ("never from scratch",
+        reference hifigan/xva_train.py:276-296)."""
         rng = jax.random.PRNGKey(self.cfg.seed)
         seg = jnp.zeros((self.cfg.batch_size, SEGMENT_SIZE, 1), jnp.float32)
         mel = jnp.zeros((self.cfg.batch_size, SEGMENT_SIZE // 256, 80), jnp.float32)
@@ -238,16 +242,41 @@ class HifiganTrainer:
             d_opt=self.d_tx.init({"params": d_vars["params"]}),
             step=jnp.zeros((), jnp.int32),
         )
+        resumed = False
         if resume:
             step, state2, host = self.ckpt.restore_latest(state)
             if step is not None:
                 state = state2
+                resumed = True
                 self.total_iter = int(step)
                 if host:
                     self.epoch = host.get("epoch", 0)
                     if "early" in host:
                         self.early = EarlyStopState.from_dict(host["early"])
                 self.logger.log(f"[resume] HiFi-GAN iter {self.total_iter}")
+        if not resumed and pretrained_g:
+            from ..interop.pretrained import (
+                load_hifigan_discriminators,
+                load_hifigan_generator,
+            )
+
+            gp = load_hifigan_generator(pretrained_g, template=state.g_params)
+            state = state.replace(g_params={"params": gp["params"]})
+            if pretrained_do:
+                dv, meta = load_hifigan_discriminators(
+                    pretrained_do, template=state.d_params
+                )
+                state = state.replace(
+                    d_params={"params": dv["params"]},
+                    d_stats=dv.get("batch_stats", state.d_stats),
+                )
+                self.epoch = int(meta.get("epoch", -1)) + 1
+                self.total_iter = int(meta.get("steps", 0))
+            self.logger.log(
+                f"[warm start] pretrained g_={os.path.basename(pretrained_g)}"
+                + (f" do_={os.path.basename(pretrained_do)}"
+                   if pretrained_do else "")
+            )
         self.state = state
         return state
 
@@ -312,14 +341,15 @@ class HifiganTrainer:
         }
 
     def export(self, voice_name: str, out_dir: Optional[str] = None) -> str:
-        """{voice}.hg.pt vocoder export (reference :600-601)."""
+        """{voice}.hg.pt vocoder export: {'generator': <flat torch-named
+        fp32 state dict>} exactly as the reference writes it (:600-601), so
+        xVASynth's HiFi-GAN loader consumes it directly."""
+        from ..interop.hifigan_map import v2_generator_rules
+        from ..interop.mapping import apply_export
+
         out_dir = out_dir or self.cfg.output_dir
         path = os.path.join(out_dir, f"{voice_name}.hg.pt")
-
-        def to_np16(x):
-            x = np.asarray(x)
-            return x.astype(np.float16) if np.issubdtype(x.dtype, np.floating) else x
-
-        sd = jax.tree_util.tree_map(to_np16, self.state.g_params["params"])
-        torch_save_compatible({"generator": sd, "format": "xva_trainer_tpu"}, path)
+        sd = apply_export(self.state.g_params, v2_generator_rules(),
+                          dtype=np.float32)
+        torch_save_compatible({"generator": sd}, path)
         return path

@@ -242,7 +242,11 @@ class XVAPitchTrainer:
         self.stop_requested = False
         self.END_OF_TRAINING = False
 
-    def setup(self, resume: bool = True):
+    def setup(self, resume: bool = True, pretrained_ckpt: Optional[str] = None):
+        """Init params; resume from orbax if present, else warm-start from the
+        reference's torch base checkpoint (``[base]`` xVAPitch_5820651.pt role,
+        reference xva_train.py:104-131,250) when ``pretrained_ckpt`` is given.
+        """
         b = next(self.batcher.epoch(shuffle=False))
         rngs = {
             "params": jax.random.PRNGKey(self.cfg.seed),
@@ -265,10 +269,12 @@ class XVAPitchTrainer:
             g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
             step=jnp.zeros((), jnp.int32),
         )
+        resumed = False
         if resume:
             step, state2, host = self.ckpt.restore_latest(state)
             if step is not None:
                 state = state2
+                resumed = True
                 if host:
                     self.stage = host.get("stage", 1)
                     self.training_iters = host.get("training_iters", int(step))
@@ -280,6 +286,17 @@ class XVAPitchTrainer:
                 self.logger.log(
                     f"[resume] stage {self.stage} iters {self.training_iters}"
                 )
+        if not resumed and pretrained_ckpt:
+            from ..interop.pretrained import load_xvapitch_base
+
+            g, d = load_xvapitch_base(
+                pretrained_ckpt, g_template=state.g_params,
+                d_template=state.d_params,
+            )
+            state = state.replace(g_params=g, d_params=d or state.d_params)
+            self.logger.log(
+                f"[warm start] base checkpoint {os.path.basename(pretrained_ckpt)}"
+            )
         self.state = state
         return state
 
@@ -440,5 +457,6 @@ class XVAPitchTrainer:
         export_xvapitch_v3(
             self.state.g_params["params"], path, voice_name, lang=lang,
             base_emb=base_emb, other_embs=other_embs,
+            d_params=self.state.d_params["params"],
         )
         return path
