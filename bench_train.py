@@ -127,12 +127,90 @@ def bench_hifigan(B=16, iters=10):
     }
 
 
-def bench_train_steps():
+def bench_xvapitch(B=16, T_TEXT=96, T_SPEC=384, iters=10):
+    """Full-size xVAPitch fused G+D micro-step (the reference's headline
+    frames/s metric: Σ batch mel_lengths / step wall time; dev-note baseline
+    ~8.5-9k frames/s/GPU — training_util.py:48-56)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xva_trainer_tpu.models.xvapitch import (
+        VitsDiscriminator,
+        XVAPitch,
+        XVAPitchConfig,
+    )
+    from xva_trainer_tpu.train.xvapitch_trainer import V3State, make_v3_step
+
+    cfg = XVAPitchConfig()  # full "big" config, pitch on
+    model = XVAPitch(cfg)
+    disc = VitsDiscriminator()
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((B, T_TEXT), np.int32)
+    tlens = rng.integers(T_TEXT // 2, T_TEXT + 1, B).astype(np.int32)
+    for b, l in enumerate(tlens):
+        tokens[b, :l] = rng.integers(1, 524, l)
+    slens = rng.integers(T_SPEC // 2, T_SPEC + 1, B).astype(np.int32)
+    batch = {
+        "tokens": jnp.asarray(tokens),
+        "tlens": jnp.asarray(tlens),
+        "linear": jnp.asarray(
+            np.abs(rng.standard_normal((B, T_SPEC, 513))).astype(np.float32)),
+        "slens": jnp.asarray(slens),
+        "pitch": jnp.asarray(rng.standard_normal((B, 1, T_SPEC)).astype(np.float32)),
+        "energy": jnp.asarray(np.zeros((B, T_SPEC), np.float32)),
+        "wav": jnp.asarray(
+            (rng.standard_normal((B, T_SPEC * 256, 1)) * 0.1).astype(np.float32)),
+        "dvec": jnp.asarray((rng.standard_normal((B, 512)) * 0.1).astype(np.float32)),
+        "lang": jnp.asarray(np.zeros((B,), np.int32)),
+    }
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ["params", "noise", "segments", "dropout"])}
+    g_params = model.init(
+        rngs, batch["tokens"], batch["tlens"], batch["linear"], batch["slens"],
+        batch["pitch"], batch["energy"], batch["wav"], batch["dvec"],
+        batch["lang"],
+    )
+    seg = jnp.zeros((B, cfg.spec_segment_size * cfg.hop_length, 1))
+    d_params = disc.init(jax.random.PRNGKey(9), seg, seg)
+    g_tx = optax.MultiSteps(
+        optax.adamw(1.75e-4, b1=0.8, b2=0.99, weight_decay=0.01),
+        every_k_schedule=max(1, int(np.ceil(400 / B))),
+    )
+    d_tx = optax.MultiSteps(
+        optax.adamw(2e-4, b1=0.8, b2=0.99, weight_decay=0.01),
+        every_k_schedule=max(1, int(np.ceil(400 / B))),
+    )
+    state = V3State(
+        g_params=g_params, d_params=d_params,
+        g_opt=g_tx.init(g_params), d_opt=d_tx.init(d_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False)
+    keys = [jax.random.PRNGKey(i) for i in range(iters + 1)]
+    state, meta = step(state, batch, keys[-1])  # compile + warm
+    jax.block_until_ready(meta["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, meta = step(state, batch, keys[i])
+    loss = float(meta["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    frames = int(np.sum(slens))
+    return {
+        "xvapitch_steps_per_sec": 1.0 / dt,
+        "xvapitch_frames_per_sec": frames / dt,
+        "xvapitch_loss_finite": bool(np.isfinite(loss)),
+    }
+
+
+def bench_train_steps(include_xvapitch: bool = True):
     fp = bench_fastpitch()
     hg = bench_hifigan()
     out = {}
     out.update(fp)
     out.update(hg)
+    if include_xvapitch:
+        out.update(bench_xvapitch())
     return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()}
 
 

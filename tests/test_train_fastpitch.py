@@ -84,8 +84,10 @@ def test_fastpitch_end_to_end(dataset):
     assert os.path.exists(path) and os.path.exists(path.replace(".pt", ".json"))
     import torch
 
-    d = torch.load(path, weights_only=False)
-    assert "model" in d
+    # flat torch-named fp16 state dict (reference xva_train.py:1030-1047)
+    d = torch.load(path, weights_only=True)
+    assert "encoder.word_emb.weight" in d
+    assert "proj.weight" in d and "pitch_mean" in d
     leaves = []
 
     def walk(x):
@@ -95,7 +97,7 @@ def test_fastpitch_end_to_end(dataset):
         else:
             leaves.append(x)
 
-    walk(d["model"])
+    walk(d)
     assert any(getattr(l, "dtype", None) == torch.float16 for l in leaves)
 
 

@@ -24,6 +24,8 @@ from xva_trainer_tpu.train.xvapitch_trainer import (
 TINY = XVAPitchConfig(
     n_vocab=524, big=False, upsample_initial_channel=32,
     resblock_kernel_sizes=(3,), spec_segment_size=8, mltts_rc=False,
+    text_layers=2, posterior_layers=3, flow_wn_layers=2, num_flows=2,
+    sdp_flows=2, pitch_layers=1,
 )
 
 
@@ -81,8 +83,13 @@ def test_v3_trainer_end_to_end(dataset):
     assert os.path.exists(path)
     import torch
 
-    d = torch.load(path, weights_only=False)
-    assert "model" in d
+    # export contract: a FLAT torch-named fp16 state dict (what xVASynth
+    # load_state_dicts directly — reference xva_train.py:984-1022)
+    d = torch.load(path, weights_only=True)
+    assert "text_encoder.emb.weight" in d
+    assert "waveform_decoder.conv_pre.weight" in d
+    assert "disc.nets.0.convs.0.weight_v" in d
+    assert all(hasattr(v, "dtype") for v in d.values())
     import json
 
     meta = json.load(open(path.replace(".pt", ".json")))

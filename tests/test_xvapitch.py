@@ -20,6 +20,8 @@ TINY = XVAPitchConfig(
     spec_segment_size=8,
     mltts_rc=True,          # exercise the reversal classifier (off by default
                             # for app/base-checkpoint parity)
+    text_layers=2, posterior_layers=3, flow_wn_layers=2, num_flows=2,
+    sdp_flows=2, pitch_layers=1,
 )
 
 B, T_TEXT, T_SPEC = 2, 9, 24

@@ -35,32 +35,76 @@ def make_logger(path: str = "server.log") -> logging.Logger:
 
 
 class TrainingSession:
-    """Single-owner trainer lifecycle: start/pause/resume/stop."""
+    """Single-owner trainer lifecycle: start/pause/resume/stop + batch queue.
+
+    The queue holds multiple dataset configs and persists across sessions in
+    ``training_queue.json`` (reference javascript/train.js:258,350-368 — the
+    reference keeps it in the frontend; here the server owns it so headless
+    runs get the same behavior). Pause is warm: the trainer thread spins on
+    ``trainer.paused`` with the jitted step and device state resident, so
+    resume continues without recompilation (reference xva_train.py:569-573).
+    """
+
+    QUEUE_FILE = "training_queue.json"
 
     def __init__(self, server: "AppServer"):
         self.server = server
         self.task: Optional[asyncio.Task] = None
         self.trainer = None
         self.paused = False
+        self.queue: list = []
+        self.queue_index = 0
 
     def running(self) -> bool:
         return self.task is not None and not self.task.done()
 
+    # ---------------- queue persistence ----------------
+
+    def _queue_path(self) -> str:
+        return os.path.join(os.getcwd(), self.QUEUE_FILE)
+
+    def save_queue(self):
+        with open(self._queue_path(), "w") as f:
+            json.dump({"queue": self.queue, "index": self.queue_index}, f,
+                      indent=2)
+
+    def load_queue(self) -> bool:
+        p = self._queue_path()
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            data = json.load(f)
+        self.queue = data.get("queue", [])
+        self.queue_index = data.get("index", 0)
+        return bool(self.queue)
+
     async def start(self, data: Dict, websocket, resume: bool = False):
         if self.running():
             return
-        self.task = asyncio.create_task(self._run(data, websocket))
+        if resume and not data and self.load_queue():
+            pass  # continue the persisted queue
+        elif isinstance(data, dict) and "queue" in data:
+            self.queue = list(data["queue"])
+            self.queue_index = 0
+        else:
+            self.queue = [data]
+            self.queue_index = 0
+        self.save_queue()
+        self.task = asyncio.create_task(self._run_queue(websocket))
 
-    async def _run(self, data: Dict, websocket):
+    async def _run_queue(self, websocket):
         try:
-            model_type = (data.get("model_type") or "xVAPitch").lower()
-            if "fastpitch" in model_type:
-                await self._run_v2(data, websocket)
-            else:
-                await self._run_v3(data, websocket)
+            while self.queue_index < len(self.queue):
+                item = self.queue[self.queue_index]
+                await self._run(item, websocket)
+                self.queue_index += 1
+                self.save_queue()
+            if os.path.exists(self._queue_path()):
+                os.remove(self._queue_path())
             if websocket:
                 await websocket.send(json.dumps({"key": "tasks_next"}))
         except asyncio.CancelledError:
+            self.save_queue()
             raise
         except Exception:
             err = traceback.format_exc()
@@ -70,27 +114,76 @@ class TrainingSession:
                     json.dumps({"key": "TRAINING_ERROR", "data": err})
                 )
 
+    async def _run(self, data: Dict, websocket):
+        model_type = (data.get("model_type") or "xVAPitch").lower()
+        if "fastpitch" in model_type:
+            await self._run_v2(data, websocket)
+        else:
+            await self._run_v3(data, websocket)
+
     async def _run_v3(self, data: Dict, websocket):
-        from ..data.text.xva_processor import get_text_preprocessor
         from ..data.xva_dataset import (
             XvaBatcher,
             XvaFeatureCache,
+            extract_speaker_embeddings,
             get_dataset_embedding,
+            read_priors_datasets,
         )
-        from ..train.xvapitch_trainer import XVAPitchTrainer, XvaTrainConfig
+        from ..train.xvapitch_trainer import (
+            XVAPitchTrainer,
+            XvaTrainConfig,
+            pre_cache_g2p,
+            preprocess_audio,
+        )
 
         dataset_path = data["dataset_path"]
         output_path = data["output_path"]
         lang = data.get("lang", "en")
         bs = int(data.get("batch_size", 16))
-        tp = get_text_preprocessor(lang, output_path)
-        cache = XvaFeatureCache(dataset_path, tp, lang=lang)
+
+        def text_to_ids(text):
+            return self._text_to_ids(text, lang)
+
+        # full reference flow: loudness preprocess → g2p pre-cache → per-item
+        # speaker embs → feature cache → dataset centroid
+        await asyncio.to_thread(preprocess_audio, dataset_path)
+        await asyncio.to_thread(pre_cache_g2p, dataset_path, lang)
+        await asyncio.to_thread(
+            extract_speaker_embeddings, dataset_path, None, True
+        )
+        cache = XvaFeatureCache(dataset_path, text_to_ids, lang=lang)
         await asyncio.to_thread(cache.build)
         emb = await asyncio.to_thread(get_dataset_embedding, dataset_path)
         batcher = XvaBatcher([cache], batch_size=bs, d_vector=emb["main"])
-        cfg = XvaTrainConfig(output_dir=output_path, batch_size=bs)
-        self.trainer = XVAPitchTrainer(batcher, cfg)
-        self.trainer.setup(resume=True)
+
+        priors_batcher = None
+        priors_root = data.get("priors_root")
+        if priors_root and os.path.isdir(priors_root):
+            dirs, langs_loaded = await asyncio.to_thread(
+                read_priors_datasets, [lang], [priors_root]
+            )
+            caches = []
+            for d in dirs:
+                c = XvaFeatureCache(d, text_to_ids, lang=lang)
+                await asyncio.to_thread(c.build)
+                caches.append(c)
+            if caches:
+                priors_batcher = XvaBatcher(caches, batch_size=bs,
+                                            d_vector=emb["main"])
+                priors_batcher.weighted_by_language = True
+
+        cfg = XvaTrainConfig(
+            output_dir=output_path, batch_size=bs,
+            hifi_only=bool(data.get("hifi_only")),
+        )
+        self.trainer = XVAPitchTrainer(batcher, cfg,
+                                       priors_batcher=priors_batcher)
+        ckpt = data.get("checkpoint")
+        pretrained = ckpt if (ckpt and ckpt != "[base]"
+                              and str(ckpt).endswith(".pt")) else (
+            os.environ.get("XVA_BASE_V3_CKPT")
+        )
+        self.trainer.setup(resume=True, pretrained_ckpt=pretrained)
         await asyncio.to_thread(
             self.trainer.train, data.get("max_steps")
         )
@@ -110,12 +203,20 @@ class TrainingSession:
         await asyncio.to_thread(train_v2_pipeline, cfg)
 
     def pause(self):
+        """Warm pause: the trainer thread idles with compiled state resident
+        — resume needs no re-jit (unlike stop/start)."""
         if self.trainer is not None:
-            self.trainer.stop_requested = True
+            self.trainer.paused = True
             self.paused = True
+
+    def resume(self):
+        if self.trainer is not None:
+            self.trainer.paused = False
+        self.paused = False
 
     def stop(self):
         if self.trainer is not None:
+            self.trainer.paused = False
             self.trainer.stop_requested = True
         if self.task:
             self.task.cancel()
@@ -153,7 +254,10 @@ class AppServer:
             await self.training.start(data, websocket)
             return None
         if task == "resume":
-            await self.training.start(data, websocket, resume=True)
+            if self.training.running() and self.training.paused:
+                self.training.resume()   # warm resume — no re-jit
+            else:
+                await self.training.start(data, websocket, resume=True)
             return None
         if task == "pause":
             self.training.pause()
@@ -226,55 +330,71 @@ class AppServer:
         save_wav(out_path, wav)
         return {"ok": True, "path": out_path}
 
-    def _synthesize_v3(self, ckpt_dir: str, emb, text: str):
+    def _synthesize_v3(self, ckpt_path: str, emb, text: str, lang: str = "en"):
+        """Synthesize a preview from a restored checkpoint. ``ckpt_path`` is
+        either a training output dir (newest orbax checkpoint, restored
+        template-free so only the generator subtree is needed) or a torch
+        ``.pt`` (exported voice / reference base checkpoint, via interop)."""
         import jax
         import jax.numpy as jnp
         import numpy as np
 
-        from ..data.text.xva_processor import XvaTextProcessor
         from ..models.xvapitch import XVAPitch, XVAPitchConfig
-        from ..train.checkpoints import CheckpointManager
-        from ..train.xvapitch_trainer import V3State
 
-        # load the newest checkpoint from the training output dir
-        raise_if_missing = not os.path.isdir(ckpt_dir)
-        if raise_if_missing:
-            raise FileNotFoundError(ckpt_dir)
         model = XVAPitch(XVAPitchConfig())
-        tp = XvaTextProcessor()
-        ids = tp.text_to_sequence(text)
+        ids = self._text_to_ids(text, lang)
         tokens = jnp.asarray(np.pad(ids, (0, max(0, 128 - len(ids))))[:128])[None]
         dvec = jnp.asarray(
             np.asarray(emb, np.float32)[None]
             if emb is not None else np.zeros((1, 512), np.float32)
         )
-        lang = jnp.asarray([5], jnp.int32)  # en
+        from ..data.xva_dataset import lang_to_id
 
-        ckpt = CheckpointManager(ckpt_dir, prefix="xVAPitch")
-        rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1),
-                "dropout": jax.random.PRNGKey(2)}
-        g_params = model.init(rngs, tokens, dvec, lang,
-                              method=XVAPitch.infer, max_frames=512)
-        step = ckpt.latest_step()
-        if step is not None:
-            # restore only generator params out of the saved state
-            import orbax.checkpoint as ocp
+        lang_ids = jnp.asarray([lang_to_id(lang)], jnp.int32)
 
-            template = {"g_params": g_params}
-            try:
-                restored = ocp.StandardCheckpointer().restore(
-                    ckpt._path(step), template
+        g_params = None
+        if os.path.isfile(ckpt_path) and ckpt_path.endswith(".pt"):
+            from ..interop.pretrained import load_xvapitch_base
+
+            g_params, _ = load_xvapitch_base(ckpt_path)
+        elif os.path.isdir(ckpt_path):
+            from ..train.checkpoints import CheckpointManager
+
+            ckpt = CheckpointManager(ckpt_path, prefix="xVAPitch")
+            step = ckpt.latest_step()
+            if step is not None:
+                import orbax.checkpoint as ocp
+
+                # template-free restore returns the raw saved pytree; only
+                # the generator subtree is consumed
+                restored = ocp.StandardCheckpointer().restore(ckpt._path(step))
+                g_params = jax.tree_util.tree_map(
+                    jnp.asarray, restored["g_params"]
                 )
-                g_params = restored["g_params"]
-            except Exception:
-                self.logger.warning("partial restore failed; using fresh params")
-        out = model.apply(g_params, tokens, dvec, lang,
+        if g_params is None:
+            raise FileNotFoundError(
+                f"no loadable checkpoint at {ckpt_path} — previews must come "
+                "from a restored model, not fresh params"
+            )
+        out = model.apply(g_params, tokens, dvec, lang_ids,
                           method=XVAPitch.infer, max_frames=512,
                           rngs={"noise": jax.random.PRNGKey(3)})
-        import numpy as np
-
         n = int(out["y_lengths"][0]) * 256
         return np.asarray(out["wav"][0][:n])
+
+    def _text_to_ids(self, text: str, lang: str = "en"):
+        """Prefer the full multilingual preprocessor when its language assets
+        are available (XVA_TEXT_DIR or packaged path); fall back to the
+        self-contained rule G2P."""
+        base_dir = os.environ.get("XVA_TEXT_DIR")
+        if base_dir and os.path.isdir(base_dir):
+            from ..data.text.preprocessing import get_text_preprocessor
+
+            seq, _ = get_text_preprocessor(lang, base_dir).text_to_sequence(text)
+            return seq
+        from ..data.text.xva_processor import XvaTextProcessor
+
+        return XvaTextProcessor().text_to_sequence(text)
 
     # ---------------- runners ----------------
 

@@ -80,7 +80,13 @@ class XvaFeatureCache:
 
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         for i, item in enumerate(todo):
-            y, sr = load_wav(item.wav_path, target_sr=self.mel_cfg.sample_rate)
+            # prefer loudness-normalized audio when the preprocess step ran
+            # (reference xva_train.py preprocess_audio:1368-1390 writes
+            # wavs_postprocessed/ and the dataset reads from there)
+            post = os.path.join(self.dataset_path, "wavs_postprocessed",
+                                os.path.basename(item.wav_path))
+            src = post if os.path.exists(post) else item.wav_path
+            y, sr = load_wav(src, target_sr=self.mel_cfg.sample_rate)
             hop = self.mel_cfg.hop_length
             y = y[: len(y) // hop * hop]
             if len(y) < hop * 40:  # skip sub-0.5s clips
@@ -121,6 +127,99 @@ class XvaFeatureCache:
             return None
         with np.load(p) as z:
             return {k: z[k] for k in z.files}
+
+
+def extract_speaker_embeddings(
+    dataset_path: str,
+    speaker_encoder=None,
+    use_postprocessed: bool = False,
+    progress=None,
+) -> int:
+    """Extract per-item speaker embeddings to ``se_embs/<name>.npy``
+    (reference dataset.py read_datasets:649-668 / get_embedding:346-359)."""
+    if speaker_encoder is None:
+        from ..models.speaker_encoder import SpeakerEncoder
+
+        speaker_encoder = SpeakerEncoder()
+    wav_dir = os.path.join(
+        dataset_path, "wavs_postprocessed" if use_postprocessed else "wavs"
+    )
+    if not os.path.isdir(wav_dir):
+        wav_dir = os.path.join(dataset_path, "wavs")
+    emb_dir = os.path.join(dataset_path, "se_embs")
+    os.makedirs(emb_dir, exist_ok=True)
+    items = read_metadata(dataset_path)
+    done = 0
+    for i, it in enumerate(items):
+        name = os.path.splitext(os.path.basename(it.wav_path))[0]
+        emb_path = os.path.join(emb_dir, name + ".npy")
+        if os.path.exists(emb_path):
+            done += 1
+            continue
+        wav_path = os.path.join(wav_dir, os.path.basename(it.wav_path))
+        if not os.path.exists(wav_path):
+            wav_path = it.wav_path
+        try:
+            y, sr = load_wav(wav_path)
+            y16 = resample(y, sr, 16000)
+            emb = speaker_encoder.compute_embedding(y16)
+            np.save(emb_path, emb.astype(np.float32))
+            done += 1
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            continue
+        if progress:
+            progress(i + 1, len(items))
+    return done
+
+
+def item_embedding_path(dataset_path: str, item: Utterance) -> str:
+    name = os.path.splitext(os.path.basename(item.wav_path))[0]
+    return os.path.join(dataset_path, "se_embs", name + ".npy")
+
+
+def read_priors_datasets(
+    languages: Sequence[str],
+    dataset_roots: Sequence[str],
+    speaker_encoder=None,
+    data_mult: int = 1,
+    extract_embs: bool = True,
+    progress=None,
+):
+    """Walk priors roots for ``<lang>_<name>/metadata.csv`` datasets,
+    extracting missing per-item speaker embeddings
+    (reference dataset.py read_datasets:588-684).
+
+    Returns (dataset_dirs, languages_loaded)."""
+    langs = set(languages)
+    all_datasets: List[str] = []
+    languages_loaded = set()
+    for root in dataset_roots:
+        if os.path.exists(os.path.join(root, "metadata.csv")):
+            all_datasets.append(root)
+        for fname in sorted(os.listdir(root)):
+            sub = os.path.join(root, fname)
+            if ("." not in fname and "_" in fname
+                    and fname.split("_")[0] in langs
+                    and os.path.exists(os.path.join(sub, "metadata.csv"))):
+                all_datasets.append(sub)
+                languages_loaded.add(fname.split("_")[0])
+    if extract_embs:
+        for di, d in enumerate(all_datasets):
+            extract_speaker_embeddings(d, speaker_encoder)
+            if progress:
+                progress(di + 1, len(all_datasets))
+    return all_datasets * max(1, data_mult), sorted(languages_loaded)
+
+
+def language_weights(langs: Sequence[str]) -> np.ndarray:
+    """Inverse-frequency sampling weights per item
+    (reference util.py get_language_weighted_sampler:403-410)."""
+    langs = list(langs)
+    unique = sorted(set(langs))
+    counts = {u: langs.count(u) for u in unique}
+    return np.asarray([1.0 / counts[l] for l in langs], np.float64)
 
 
 def get_dataset_embedding(
@@ -253,6 +352,9 @@ class XvaBatcher:
         self.buckets = sorted(buckets, key=lambda b: b.mel_len)
         self.rng = np.random.default_rng(seed)
         self.hop = hop
+        self.use_item_embs = True   # per-item se_embs/*.npy when present
+        self.weighted_by_language = False
+        self._emb_cache: Dict[str, np.ndarray] = {}
         self._index: List = []  # (cache, item)
         for c in self.caches:
             for it in c.items:
@@ -271,9 +373,29 @@ class XvaBatcher:
         if not self._active:
             self._active = list(self._index)
 
+    def _item_emb(self, cache: "XvaFeatureCache", item: Utterance):
+        if not self.use_item_embs:
+            return None
+        p = item_embedding_path(cache.dataset_path, item)
+        if p in self._emb_cache:
+            return self._emb_cache[p]
+        emb = None
+        if os.path.exists(p):
+            emb = np.load(p).astype(np.float32).reshape(-1)
+        self._emb_cache[p] = emb
+        return emb
+
     def epoch(self, shuffle: bool = True):
         order = list(self._active)
-        if shuffle:
+        if shuffle and self.weighted_by_language:
+            # inverse language-frequency sampling with replacement
+            # (reference util.py:403-410 WeightedRandomSampler semantics)
+            langs = [c.lang for c, _ in order]
+            w = language_weights(langs)
+            idx = self.rng.choice(len(order), size=len(order), replace=True,
+                                  p=w / w.sum())
+            order = [order[i] for i in idx]
+        elif shuffle:
             self.rng.shuffle(order)
         # assign to buckets, memoizing lengths so each npz is read only once
         # across all epochs (bucketing itself is cheap integer work)
@@ -317,6 +439,7 @@ class XvaBatcher:
         energy = np.zeros((n, b.mel_len), np.float32)
         wav = np.zeros((n, b.mel_len * self.hop, 1), np.float32)
         lang = np.zeros((n,), np.int32)
+        dvec = np.tile(self.d_vector[None], (n, 1))
         for i, (c, it) in enumerate(chunk):
             d = c.load_item(it)
             tl = min(len(d["tokens"]), b.text_len)
@@ -330,7 +453,9 @@ class XvaBatcher:
             w = d["wav"][: sl * self.hop]
             wav[i, : len(w), 0] = w
             lang[i] = int(d["lang_id"])
-        dvec = np.tile(self.d_vector[None], (n, 1))
+            emb = self._item_emb(c, it)
+            if emb is not None and emb.shape == dvec[i].shape:
+                dvec[i] = emb
         return {
             "tokens": tokens, "tlens": tlens, "linear": linear, "slens": slens,
             "pitch": pitch, "energy": energy, "wav": wav, "dvec": dvec,

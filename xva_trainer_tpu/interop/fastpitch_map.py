@@ -71,9 +71,9 @@ def _predictor_rules(tp: str, fp: P, n_layers: int = 2) -> List[Rule]:
     return rules
 
 
-def fastpitch_rules() -> List[Rule]:
-    rules = _fft_rules("encoder", ("encoder",), embed=True)
-    rules += _fft_rules("decoder", ("decoder",))
+def fastpitch_rules(in_layers: int = 6, out_layers: int = 6) -> List[Rule]:
+    rules = _fft_rules("encoder", ("encoder",), in_layers, embed=True)
+    rules += _fft_rules("decoder", ("decoder",), out_layers)
     rules += _predictor_rules("duration_predictor", ("duration_predictor",))
     rules += _predictor_rules("pitch_predictor", ("pitch_predictor",))
     rules += _predictor_rules("energy_predictor", ("energy_predictor",))
@@ -129,10 +129,15 @@ def fastpitch_extra_keys(pitch_mean: float = 0.0, pitch_std: float = 1.0,
 
 
 def fastpitch_state_dict(params, *, pitch_mean: float = 0.0,
-                         pitch_std: float = 1.0, dtype=np.float16):
+                         pitch_std: float = 1.0, dtype=np.float16,
+                         in_layers: int = 6, out_layers: int = 6,
+                         d_model: int = 384):
     """Flax FastPitch params -> the reference's flat fp16 state dict."""
-    sd = apply_export(params, fastpitch_rules(), dtype=dtype)
+    sd = apply_export(params, fastpitch_rules(in_layers, out_layers),
+                      dtype=dtype)
     sd.update(fastpitch_extra_keys(pitch_mean, pitch_std, dtype))
+    sd["encoder.pos_emb.inv_freq"] = _inv_freq(d_model).astype(dtype)
+    sd["decoder.pos_emb.inv_freq"] = _inv_freq(d_model).astype(dtype)
     return sd
 
 

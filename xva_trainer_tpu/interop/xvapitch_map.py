@@ -120,15 +120,15 @@ def _sdp_flow_rules(tp: str, fprefix: P, name: str, num_flows: int = 4) -> List[
 
 
 def sdp_rules(tp: str = "duration_predictor",
-              fp: P = ("duration_predictor",)) -> List[Rule]:
+              fp: P = ("duration_predictor",), num_flows: int = 4) -> List[Rule]:
     rules = _plain_conv(f"{tp}.pre", fp + ("pre",))
     rules += _ddsconv_rules(f"{tp}.convs", fp + ("convs",))
     rules += _plain_conv(f"{tp}.proj", fp + ("proj",))
-    rules += _sdp_flow_rules(tp, fp, "flows")
+    rules += _sdp_flow_rules(tp, fp, "flows", num_flows)
     rules += _plain_conv(f"{tp}.post_pre", fp + ("post_pre",))
     rules += _ddsconv_rules(f"{tp}.post_convs", fp + ("post_convs",))
     rules += _plain_conv(f"{tp}.post_proj", fp + ("post_proj",))
-    rules += _sdp_flow_rules(tp, fp, "post_flows")
+    rules += _sdp_flow_rules(tp, fp, "post_flows", num_flows)
     rules += _plain_conv(f"{tp}.cond", fp + ("cond",))
     rules += _plain_conv(f"{tp}.cond_lang", fp + ("cond_lang",))
     return rules
@@ -213,50 +213,77 @@ def vits_disc_rules(tp: str = "disc", fp: P = ()) -> List[Rule]:
     return rules
 
 
-def xvapitch_generator_rules() -> List[Rule]:
-    """All generator-side params of the reference xVAPitch ("big", pitch=1)."""
+def xvapitch_generator_rules(num_ups: int = 4, num_kernels: int = 3,
+                             text_layers: int = 10, posterior_layers: int = 16,
+                             flow_wn_layers: int = 4, num_flows: int = 4,
+                             sdp_flows: int = 4, pitch_layers: int = 3) -> List[Rule]:
+    """All generator-side params of the reference xVAPitch ("big", pitch=1).
+
+    The depth arguments parameterize reduced test configs; the shipped model
+    uses the defaults."""
     rules: List[Rule] = [Rule("emb_l.weight", ("emb_l", "embedding"), "id")]
 
     # text encoder
     rules.append(Rule("text_encoder.emb.weight",
                       ("text_encoder", "emb", "embedding"), "id"))
     rules += _transformer_rules("text_encoder.encoder",
-                                ("text_encoder", "encoder"), 10)
+                                ("text_encoder", "encoder"), text_layers)
     rules += _plain_conv("text_encoder.proj", ("text_encoder", "proj"))
 
     # posterior encoder
     pe = ("posterior_encoder",)
     rules += _plain_conv("posterior_encoder.pre", pe + ("pre",))
-    rules += _wn_rules("posterior_encoder.enc", pe + ("enc",), 16, cond=True)
+    rules += _wn_rules("posterior_encoder.enc", pe + ("enc",),
+                       posterior_layers, cond=True)
     rules += _plain_conv("posterior_encoder.proj", pe + ("proj",))
 
     # flow
-    for i in range(4):
+    for i in range(num_flows):
         f = ("flow", f"flows_{i}")
         rules += _plain_conv(f"flow.flows.{i}.pre", f + ("pre",))
-        rules += _wn_rules(f"flow.flows.{i}.enc", f + ("enc",), 4, cond=True)
+        rules += _wn_rules(f"flow.flows.{i}.enc", f + ("enc",),
+                           flow_wn_layers, cond=True)
         rules += _plain_conv(f"flow.flows.{i}.post", f + ("post",))
 
     # stochastic duration predictor
-    rules += sdp_rules()
+    rules += sdp_rules(num_flows=sdp_flows)
 
     # waveform decoder (v3 variant: no pre/post weight norm, no post bias)
-    rules += hifigan_decoder_rules()
+    rules += hifigan_decoder_rules(num_ups=num_ups, num_kernels=num_kernels)
 
     # pitch predictor + pitch embedding
     rules += _transformer_rules(
         "pitch_predictor.encoder",
-        ("pitch_predictor", "RelativePositionTransformer_0"), 3,
+        ("pitch_predictor", "RelativePositionTransformer_0"), pitch_layers,
         final_out_1=True,
     )
     rules += _plain_conv("pitch_emb", ("pitch_emb",))
     return rules
 
 
+def rules_for_config(cfg) -> List[Rule]:
+    """Generator rules matching an XVAPitchConfig instance."""
+    return xvapitch_generator_rules(
+        num_ups=len(cfg.upsample_rates),
+        num_kernels=len(cfg.resblock_kernel_sizes),
+        text_layers=cfg.text_layers,
+        posterior_layers=cfg.posterior_layers,
+        flow_wn_layers=cfg.flow_wn_layers,
+        num_flows=cfg.num_flows,
+        sdp_flows=cfg.sdp_flows,
+        pitch_layers=cfg.pitch_layers,
+    )
+
+
 # torch keys present in the reference state dict but unused by its forward
 # (the last norm_layers_2 of the out_channels==1 pitch transformer) — emitted
 # as defaults on export so the key set matches exactly.
-UNUSED_TORCH_DEFAULTS = {
-    "pitch_predictor.encoder.norm_layers_2.2.gamma": ("ones", (1,)),
-    "pitch_predictor.encoder.norm_layers_2.2.beta": ("zeros", (1,)),
-}
+def unused_torch_defaults(pitch_layers: int = 3):
+    i = pitch_layers - 1
+    return {
+        f"pitch_predictor.encoder.norm_layers_2.{i}.gamma": ("ones", (1,)),
+        f"pitch_predictor.encoder.norm_layers_2.{i}.beta": ("zeros", (1,)),
+    }
+
+
+UNUSED_TORCH_DEFAULTS = unused_torch_defaults()

@@ -269,10 +269,12 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+
     @nn.compact
     def __call__(self, y, y_hat, *, update_sn_stats: bool = False):
         outs_r, outs_g, fmaps_r, fmaps_g = [], [], [], []
-        for i in range(3):
+        for i in range(self.n_scales):
             d = DiscriminatorS(use_spectral_norm=(i == 0))
             if i != 0:
                 y = _avg_pool(y)
@@ -287,12 +289,20 @@ class MultiScaleDiscriminator(nn.Module):
 
 
 class HifiganDiscriminator(nn.Module):
-    """MPD + MSD in one module (one param tree, one optimizer)."""
+    """MPD + MSD in one module (one param tree, one optimizer).
+
+    periods/n_scales default to the full config; reduced values exist for
+    structural (multi-chip dryrun) validation only."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    n_scales: int = 3
 
     @nn.compact
     def __call__(self, y, y_hat, *, update_sn_stats: bool = False):
-        p = MultiPeriodDiscriminator()(y, y_hat)
-        s = MultiScaleDiscriminator()(y, y_hat, update_sn_stats=update_sn_stats)
+        p = MultiPeriodDiscriminator(self.periods)(y, y_hat)
+        s = MultiScaleDiscriminator(self.n_scales)(
+            y, y_hat, update_sn_stats=update_sn_stats
+        )
         return tuple(a + b for a, b in zip(p, s))
 
 

@@ -10,6 +10,7 @@ from ..hifigan.models import DiscriminatorP, DiscriminatorS, V3_SCALE_SPECS
 
 class VitsDiscriminator(nn.Module):
     periods: tuple = (2, 3, 5, 7, 11)
+    scale_specs: tuple = V3_SCALE_SPECS
 
     @nn.compact
     def __call__(self, x, x_hat=None):
@@ -19,7 +20,7 @@ class VitsDiscriminator(nn.Module):
         The scale disc uses the v3 channel/stride spec (16→64→256→1024,
         stride 4 — reference python/xvapitch/model.py:1560-1568), which
         differs from the v2 HiFi-GAN MSD disc."""
-        nets = [DiscriminatorS(use_spectral_norm=False, specs=V3_SCALE_SPECS)] + [
+        nets = [DiscriminatorS(use_spectral_norm=False, specs=self.scale_specs)] + [
             DiscriminatorP(p) for p in self.periods
         ]
         x_scores, x_feats = [], []

@@ -53,6 +53,13 @@ class XVAPitchConfig:
     spec_segment_size: int = 32
     hop_length: int = 256
     num_languages: int = NUM_LANGUAGES
+    # structural depths (reference values; reducible for tests/dryruns)
+    text_layers: int = 10
+    posterior_layers: int = 16
+    flow_wn_layers: int = 4
+    num_flows: int = 4
+    sdp_flows: int = 4
+    pitch_layers: int = 3
     # decoder (HiFi-GAN MRF)
     upsample_rates: tuple = (8, 8, 2, 2)
     upsample_kernel_sizes: tuple = (16, 16, 4, 4)
@@ -108,17 +115,19 @@ class XVAPitch(nn.Module):
         latent = c.latent_size
         self.emb_l = nn.Embed(c.num_languages, c.lang_emb_dim)
         self.text_encoder = TextEncoder(
-            c.n_vocab, latent, latent, 768, 2, 10, 3, 0.1,
+            c.n_vocab, latent, latent, 768, 2, c.text_layers, 3, 0.1,
             language_emb_dim=c.lang_emb_dim,
         )
         self.posterior_encoder = PosteriorEncoder(
-            513, latent, latent, 5, 1, 16, cond_channels=c.d_vector_dim
+            513, latent, latent, 5, 1, c.posterior_layers,
+            cond_channels=c.d_vector_dim,
         )
         self.flow = ResidualCouplingBlocks(
-            latent, latent, 5, 1, 4, num_flows=4, cond_channels=c.d_vector_dim
+            latent, latent, 5, 1, c.flow_wn_layers, num_flows=c.num_flows,
+            cond_channels=c.d_vector_dim,
         )
         self.duration_predictor = StochasticDurationPredictor(
-            latent, latent, 3, 0.5, 4,
+            latent, latent, 3, 0.5, c.sdp_flows,
             cond_channels=c.d_vector_dim, language_emb_dim=c.lang_emb_dim,
         )
         self.waveform_decoder = HifiganGenerator(
@@ -137,7 +146,7 @@ class XVAPitch(nn.Module):
         if c.pitch:
             self.pitch_predictor = RelativePositioningPitchEnergyEncoder(
                 hidden_channels=latent + c.lang_emb_dim,
-                hidden_channels_ffn=768, num_heads=2, num_layers=3,
+                hidden_channels_ffn=768, num_heads=2, num_layers=c.pitch_layers,
                 kernel_size=3, dropout_p=0.1,
                 conditioning_emb_dim=c.d_vector_dim,
             )

@@ -90,20 +90,28 @@ def _to_numpy_fp16(params) -> Dict:
     return jax.tree_util.tree_map(conv, params)
 
 
-def xvapitch_state_dict(g_params, d_params=None, *, step: Optional[int] = None):
+def xvapitch_state_dict(g_params, d_params=None, *, step: Optional[int] = None,
+                        model_cfg=None):
     """Flax params -> the reference's flat torch-named fp16 state dict
     (what xVASynth ``load_state_dict``s — reference xva_train.py:984-1022:
     ``torch.save(model_half.state_dict(), ...)``, which includes the
     ``disc.*`` subtree since the discriminator is a submodule)."""
     from ..interop.mapping import apply_export
     from ..interop.xvapitch_map import (
-        UNUSED_TORCH_DEFAULTS,
+        rules_for_config,
+        unused_torch_defaults,
         vits_disc_rules,
         xvapitch_generator_rules,
     )
 
-    sd = apply_export(g_params, xvapitch_generator_rules(), dtype=np.float16)
-    for k, (kind, shape) in UNUSED_TORCH_DEFAULTS.items():
+    if model_cfg is not None:
+        rules = rules_for_config(model_cfg)
+        defaults = unused_torch_defaults(model_cfg.pitch_layers)
+    else:
+        rules = xvapitch_generator_rules()
+        defaults = unused_torch_defaults()
+    sd = apply_export(g_params, rules, dtype=np.float16)
+    for k, (kind, shape) in defaults.items():
         sd[k] = (np.ones if kind == "ones" else np.zeros)(shape, np.float16)
     if d_params is not None:
         sd.update(apply_export(d_params, vits_disc_rules(), dtype=np.float16))
@@ -119,12 +127,21 @@ def export_fastpitch_v2(
     game_id: str = "other",
     author: str = "",
     emb: Optional[np.ndarray] = None,
+    model_cfg=None,
+    pitch_stats: Optional[Tuple[float, float]] = None,
 ) -> None:
     """xVASynth v2 export: fp16 ``.pt`` + metadata ``.json``
     (reference fastpitch1_1/xva_train.py:1030-1047)."""
     from ..interop.fastpitch_map import fastpitch_state_dict
 
-    sd = fastpitch_state_dict(params)
+    kw = {}
+    if model_cfg is not None:
+        kw = dict(in_layers=model_cfg.in_fft_n_layers,
+                  out_layers=model_cfg.out_fft_n_layers,
+                  d_model=model_cfg.symbols_embedding_dim)
+    if pitch_stats is not None:
+        kw.update(pitch_mean=pitch_stats[0], pitch_std=pitch_stats[1])
+    sd = fastpitch_state_dict(params, **kw)
     torch_save_compatible(sd, out_path)
     meta = {
         "version": "2.0",
@@ -157,11 +174,12 @@ def export_xvapitch_v3(
     other_embs: Optional[list] = None,
     d_params=None,
     lang_capabilities: Optional[list] = None,
+    model_cfg=None,
 ) -> None:
     """xVASynth v3 export (reference python/xvapitch/xva_train.py:984-1022):
     the flat torch-named fp16 state dict, loadable by the reference
     ``xVAPitchModel.load_state_dict`` directly."""
-    sd = xvapitch_state_dict(params, d_params)
+    sd = xvapitch_state_dict(params, d_params, model_cfg=model_cfg)
     torch_save_compatible(sd, out_path)
     meta = {
         "version": "3.0",

@@ -155,6 +155,7 @@ class FastPitchTrainer:
         self.epoch = 0
         self.total_iter = 0
         self.stop_requested = False
+        self.paused = False   # warm pause: jitted step + state stay resident
         self._stage_objects()
 
     # ---- lifecycle ----
@@ -275,6 +276,8 @@ class FastPitchTrainer:
         with self.mesh:
             self.meter.start()
             for batch in batcher.epoch():
+                while self.paused and not self.stop_requested:
+                    time.sleep(0.2)
                 if self.stop_requested:
                     break
                 frames = int(np.sum(batch["mel_lens"]))
@@ -363,7 +366,15 @@ class FastPitchTrainer:
     def export(self, voice_name: str, out_dir: Optional[str] = None):
         out_dir = out_dir or self.cfg.output_dir
         path = os.path.join(out_dir, f"{voice_name}.pt")
-        export_fastpitch_v2(self.state.params["params"], path, voice_name)
+        try:
+            st = self.cache.pitch_stats()
+            pitch_stats = (float(st.get("mean", 0.0)), float(st.get("std", 1.0)))
+        except Exception:
+            pitch_stats = None
+        export_fastpitch_v2(
+            self.state.params["params"], path, voice_name,
+            model_cfg=self.model_cfg, pitch_stats=pitch_stats,
+        )
         return path
 
     def output_samples(self, sentences, out_dir: Optional[str] = None,

@@ -204,13 +204,16 @@ class HifiganTrainer:
         self.mel_cfg = mel_cfg
         self.logger = logger or TrainingLogger(cfg.output_dir)
         self.sampler = SegmentSampler(dataset_path, cfg.batch_size, cfg.seed)
-        decay_every = max(1, cfg.steps_per_epoch_hint)
-
-        def sched(step):
-            return cfg.lr * cfg.lr_decay ** (step // decay_every)
-
-        self.g_tx = optax.adamw(sched, b1=0.8, b2=0.99, weight_decay=0.0)
-        self.d_tx = optax.adamw(sched, b1=0.8, b2=0.99, weight_decay=0.0)
+        # true epoch-boundary ExponentialLR: the lr lives in the optimizer
+        # state (inject_hyperparams) and is stepped by finish_epoch, matching
+        # the reference's per-epoch scheduler (xva_train.py:306-307) instead
+        # of a steps-per-epoch approximation
+        self.g_tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.0
+        )
+        self.d_tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.0
+        )
         self._step_fn = make_gan_step(self.gen, self.disc, self.g_tx, self.d_tx, mel_cfg)
         self.early = EarlyStopState(
             target_delta=HIFIGAN_TARGET_DELTA,
@@ -223,6 +226,7 @@ class HifiganTrainer:
         self.epoch = 0
         self.total_iter = 0
         self.stop_requested = False
+        self.paused = False   # warm pause: jitted step + state stay resident
 
     def setup(self, resume: bool = True, pretrained_g: Optional[str] = None,
               pretrained_do: Optional[str] = None):
@@ -290,6 +294,8 @@ class HifiganTrainer:
         with self.mesh:
             self.meter.start()
             for seg in self.sampler.epoch():
+                while self.paused and not self.stop_requested:
+                    time.sleep(0.2)
                 if self.stop_requested:
                     break
                 dev = shard_batch(self.mesh, {"wav": seg})["wav"]
@@ -305,8 +311,24 @@ class HifiganTrainer:
                 )
         return losses
 
+    def _set_lr(self, lr: float):
+        def upd(opt_state):
+            try:
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    lr, jnp.float32
+                )
+            except Exception:
+                pass
+            return opt_state
+
+        self.state = self.state.replace(
+            g_opt=upd(self.state.g_opt), d_opt=upd(self.state.d_opt)
+        )
+
     def finish_epoch(self, losses) -> bool:
         self.epoch += 1
+        # ExponentialLR γ per epoch (reference :306-307)
+        self._set_lr(self.cfg.lr * self.cfg.lr_decay ** self.epoch)
         if not losses:
             return False
         avg = float(np.mean(losses))

@@ -61,6 +61,9 @@ class XvaTrainConfig:
     do_loss_sorting: bool = True
     seed: int = 0
     patience: int = 3
+    # train only posterior encoder + waveform decoder (reference --hifi_only,
+    # xva_train.py:649-679)
+    hifi_only: bool = False
 
     @property
     def gam(self) -> int:
@@ -106,12 +109,29 @@ def _zero_module_updates(updates, modules=("posterior_encoder", "waveform_decode
     return _zero_module_grads(updates, modules)
 
 
+def _keep_only_module_updates(updates, keep=("posterior_encoder", "waveform_decoder")):
+    """Inverse mask: zero updates for everything except `keep` (hifi_only —
+    params outside the posterior/decoder graph must not decay)."""
+
+    def walk(tree):
+        # module names are the top-level keys of the params tree
+        return {
+            k: (v if k in keep else jax.tree_util.tree_map(jnp.zeros_like, v))
+            for k, v in tree.items()
+        }
+
+    if isinstance(updates, dict) and "params" in updates:
+        return {**updates, "params": walk(updates["params"])}
+    return walk(updates)
+
+
 def make_v3_step(
     model: XVAPitch,
     disc: VitsDiscriminator,
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
     freeze_post_dec: bool,
+    hifi_only: bool = False,
 ):
     """One jitted micro-step: G loss+grads, D loss+grads on stopped fakes,
     both optimizer updates (MultiSteps handles gam accumulation)."""
@@ -125,18 +145,26 @@ def make_v3_step(
         }
 
         def g_loss_fn(g_params):
-            out = model.apply(
-                g_params, batch["tokens"], batch["tlens"], batch["linear"],
-                batch["slens"], batch["pitch"], batch["energy"], batch["wav"],
-                batch["dvec"], batch["lang"],
-                method=XVAPitch.train_step, rngs=rngs,
-            )
+            if hifi_only:
+                out = model.apply(
+                    g_params, batch["linear"], batch["slens"], batch["wav"],
+                    batch["dvec"],
+                    method=XVAPitch.train_hifi_only, rngs=rngs,
+                )
+            else:
+                out = model.apply(
+                    g_params, batch["tokens"], batch["tlens"], batch["linear"],
+                    batch["slens"], batch["pitch"], batch["energy"],
+                    batch["wav"], batch["dvec"], batch["lang"],
+                    method=XVAPitch.train_step, rngs=rngs,
+                )
             s_fake, f_fake, s_real, f_real = disc.apply(
                 state.d_params, out["model_outputs"], out["waveform_seg"]
             )
             loss, meta = v_losses.generator_loss(
                 out, s_fake, f_fake, f_real,
                 language_ids=batch["lang"], spec_lengths=batch["slens"],
+                hifi_only=hifi_only,
             )
             aux = {
                 "meta": meta,
@@ -156,7 +184,9 @@ def make_v3_step(
             g_grads = {"params": _zero_module_grads(g_grads["params"])}
 
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        if freeze_post_dec:
+        if hifi_only:
+            g_updates = _keep_only_module_updates(g_updates)
+        elif freeze_post_dec:
             g_updates = _zero_module_updates(g_updates)
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -184,6 +214,53 @@ def make_v3_step(
         )
 
     return step
+
+
+def preprocess_audio(dataset_path: str, progress=None) -> int:
+    """EBU R128 loudness-normalize wavs/ → wavs_postprocessed/ before
+    training (reference xva_train.py preprocess_audio:1368-1390, which runs
+    the audio_norm tool over the dataset)."""
+    from ..data.audio_io import load_wav, save_wav
+    from ..ops.loudness import normalize_ebu_r128
+
+    wav_dir = os.path.join(dataset_path, "wavs")
+    out_dir = os.path.join(dataset_path, "wavs_postprocessed")
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(wav_dir) if f.endswith(".wav"))
+    done = 0
+    for i, f in enumerate(files):
+        dst = os.path.join(out_dir, f)
+        if os.path.exists(dst):
+            done += 1
+            continue
+        y, sr = load_wav(os.path.join(wav_dir, f))
+        save_wav(dst, normalize_ebu_r128(y, sr), sr)
+        done += 1
+        if progress:
+            progress(i + 1, len(files))
+    return done
+
+
+def pre_cache_g2p(dataset_paths, lang: str = "en",
+                  text_base_dir: Optional[str] = None) -> int:
+    """Run every metadata line through the language preprocessor once so the
+    on-disk g2p caches are warm before dataloading (reference
+    dataset.py pre_cache_g2p:687-721)."""
+    from ..data.dataset import read_metadata
+    from ..data.text.preprocessing import get_text_preprocessor
+
+    text_base_dir = text_base_dir or os.environ.get("XVA_TEXT_DIR")
+    if not text_base_dir or not os.path.isdir(text_base_dir):
+        return 0
+    tp = get_text_preprocessor(lang, text_base_dir)
+    n = 0
+    for d in ([dataset_paths] if isinstance(dataset_paths, str) else dataset_paths):
+        for it in read_metadata(d):
+            tp.text_to_sequence(it.text)
+            n += 1
+    if tp._g2p_cache_dirty:
+        tp.save_g2p_cache()
+    return n
 
 
 class XVAPitchTrainer:
@@ -226,8 +303,10 @@ class XVAPitchTrainer:
             every_k_schedule=cfg.gam,
         )
         self._steps = {
-            False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx, False),
-            True: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx, True),
+            False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
+                                False, hifi_only=cfg.hifi_only),
+            True: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
+                               True, hifi_only=cfg.hifi_only),
         }
         self.stage = 1
         self.training_iters = 0       # optimizer steps
@@ -240,6 +319,7 @@ class XVAPitchTrainer:
         self.deltas: List[List[float]] = [[], []]
         self.patience_count = 0
         self.stop_requested = False
+        self.paused = False   # warm pause: jitted step + state stay resident
         self.END_OF_TRAINING = False
 
     def setup(self, resume: bool = True, pretrained_ckpt: Optional[str] = None):
@@ -324,6 +404,12 @@ class XVAPitchTrainer:
         self.meter.start()
         with self.mesh:
             while not self.stop_requested and not self.END_OF_TRAINING:
+                # warm pause (reference pause keeps the trainer resident,
+                # xva_train.py:569-573 — no re-jit on resume)
+                while self.paused and not self.stop_requested:
+                    time.sleep(0.2)
+                if self.stop_requested:
+                    break
                 batch, iterators = self._next_batch(iterators)
                 freeze = (self.stage == 1) or (
                     not self.finetune_it and self.priors_batcher is not None
@@ -334,7 +420,8 @@ class XVAPitchTrainer:
                 self.micro_steps += 1
                 self.meter.add_frames(int(np.sum(batch["slens"])))
 
-                if self.cfg.do_loss_sorting and self.finetune_it:
+                if (self.cfg.do_loss_sorting and self.finetune_it
+                        and "per_sample_kl" in meta):
                     # Stay async: build the per-sample total lazily on device
                     # and only pull to host at the optimizer-step boundary —
                     # a per-micro-step transfer would serialize dispatch.
@@ -458,5 +545,6 @@ class XVAPitchTrainer:
             self.state.g_params["params"], path, voice_name, lang=lang,
             base_emb=base_emb, other_embs=other_embs,
             d_params=self.state.d_params["params"],
+            model_cfg=self.model.cfg,
         )
         return path
