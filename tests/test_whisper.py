@@ -1,0 +1,146 @@
+"""Flax Whisper parity vs torch (transformers WhisperModel) + decode smoke."""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from xva_trainer_tpu.interop.whisper_map import hf_to_openai_keys, load_whisper
+from xva_trainer_tpu.models.whisper import (
+    BpeDecoder,
+    Whisper,
+    WhisperASR,
+    WhisperConfig,
+    log_mel_spectrogram,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pair(tmp_path_factory):
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperModel as HFModel
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=1000, d_model=64, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=1500, max_target_positions=448,
+        num_mel_bins=80, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1,
+    )
+    hf = HFModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    sd = hf_to_openai_keys(sd)
+    d = tmp_path_factory.mktemp("whisper")
+    path = os.path.join(d, "tiny_test.pt")
+    dims = dict(n_vocab=1000, n_audio_ctx=1500, n_audio_state=64,
+                n_audio_head=2, n_audio_layer=2, n_text_ctx=448,
+                n_text_state=64, n_text_head=2, n_text_layer=2)
+    torch.save({"dims": dims,
+                "model_state_dict": {k: torch.from_numpy(np.asarray(v))
+                                     for k, v in sd.items()}}, path)
+    return hf, path
+
+
+def test_import_and_forward_parity(tiny_pair):
+    hf, path = tiny_pair
+    params, cfg = load_whisper(path)
+    assert cfg.n_audio_state == 64 and cfg.n_text_layer == 2
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.3
+    tokens = rng.integers(0, 1000, (1, 8)).astype(np.int64)
+
+    with torch.no_grad():
+        out_t = hf(
+            input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.from_numpy(tokens),
+        )
+        enc_t = out_t.encoder_last_hidden_state.numpy()
+        dec_t = out_t.last_hidden_state.numpy()
+
+    m = Whisper(cfg)
+    enc_f = m.apply(params, jnp.asarray(mel), method=Whisper.encode)
+    np.testing.assert_allclose(np.asarray(enc_f), enc_t, atol=2e-3)
+
+    logits_f = m.apply(params, jnp.asarray(tokens.astype(np.int32)),
+                       enc_f, method=Whisper.decode_logits)
+    # compare pre-logits hidden state via projecting torch's with our emb
+    emb = np.asarray(params["params"]["decoder"]["token_embedding"])
+    logits_t = dec_t @ emb.T
+    np.testing.assert_allclose(np.asarray(logits_f), logits_t, atol=5e-3)
+
+
+def test_log_mel_shape():
+    wav = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    mel = log_mel_spectrogram(wav)
+    assert mel.shape == (80, 3000)
+    assert np.isfinite(mel).all()
+    assert mel.max() <= 2.0  # (log10+4)/4 normalization, 8 dB range
+    assert mel.max() - mel.min() <= 2.01  # dynamic range clamp
+
+
+def test_greedy_decode_smoke(tiny_pair):
+    _, path = tiny_pair
+    params, cfg = load_whisper(path)
+    asr = WhisperASR(params, cfg, max_tokens=16)
+    wav = (np.random.default_rng(1).standard_normal(16000) * 0.1).astype(np.float32)
+    ids = asr.transcribe_tokens(wav, lang="en")
+    assert isinstance(ids, list) and len(ids) <= 16
+
+
+def test_transcribe_tool_with_native_whisper(tiny_pair, tmp_path):
+    """VERDICT #8 done-criterion: the transcribe tool produces metadata.csv
+    from a local whisper .pt with no external backend registration."""
+    import asyncio
+    import base64
+
+    from xva_trainer_tpu.data.audio_io import save_wav
+    from xva_trainer_tpu.tools.text_tools import TranscribeTool
+
+    _, ckpt_path = tiny_pair
+    # tokenizer assets beside the checkpoint
+    lines = []
+    for i in range(1000):
+        lines.append(base64.b64encode(f"w{i} ".encode()) + b" " + str(i).encode())
+    with open(os.path.join(os.path.dirname(ckpt_path),
+                           "multilingual.tiktoken"), "wb") as f:
+        f.write(b"\n".join(lines))
+
+    wav_dir = os.path.join(tmp_path, "clips")
+    os.makedirs(wav_dir)
+    t = np.arange(22050) / 22050
+    for i in range(2):
+        save_wav(os.path.join(wav_dir, f"c{i}.wav"),
+                 (0.2 * np.sin(2 * np.pi * (200 + 100 * i) * t)).astype(np.float32))
+
+    TranscribeTool._asr_backend = None
+    tool = TranscribeTool()
+    asyncio.get_event_loop().run_until_complete(
+        tool.run({"inPath": wav_dir, "outputDirectory": str(tmp_path),
+                  "toolSettings": {"modelPath": ckpt_path}})
+    )
+    TranscribeTool._asr_backend = None
+    meta = os.path.join(tmp_path, "metadata.csv")
+    assert os.path.exists(meta)
+    content = open(meta, encoding="utf8").read()
+    assert "c0.wav|" in content and "c1.wav|" in content
+
+
+def test_bpe_decoder_tiktoken(tmp_path):
+    import base64
+
+    lines = []
+    for i, word in enumerate([b"hello", b" world", b"!"]):
+        lines.append(base64.b64encode(word) + b" " + str(i).encode())
+    p = os.path.join(tmp_path, "multilingual.tiktoken")
+    with open(p, "wb") as f:
+        f.write(b"\n".join(lines))
+    dec = BpeDecoder.find(str(tmp_path))
+    assert dec is not None
+    assert dec.decode([0, 1, 2]) == "hello world!"

@@ -1,0 +1,156 @@
+"""Rule table: OpenAI whisper checkpoint <-> flax Whisper.
+
+The reference's transcribe tool loads a local ``whisper/{size}.pt``
+(reference python/transcribe/model.py:150-157), an archive of
+``{'dims': ModelDimensions, 'model_state_dict': ...}``. This maps those
+weights into xva_trainer_tpu.models.whisper; HuggingFace-named state dicts
+are accepted via a key-translation pass.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .mapping import Rule, apply_import
+from .torch_io import load_torch_pt
+
+P = Tuple[str, ...]
+
+
+def _ln(tkey: str, fpath: P) -> List[Rule]:
+    return [
+        Rule(tkey + ".weight", fpath + ("scale",), "id"),
+        Rule(tkey + ".bias", fpath + ("bias",), "id"),
+    ]
+
+
+def _linear(tkey: str, fpath: P, bias: bool = True) -> List[Rule]:
+    rules = [Rule(tkey + ".weight", fpath + ("kernel",), "linear")]
+    if bias:
+        rules.append(Rule(tkey + ".bias", fpath + ("bias",), "id"))
+    return rules
+
+
+def _block_rules(tp: str, fp: P, cross: bool) -> List[Rule]:
+    rules = _ln(f"{tp}.attn_ln", fp + ("attn_ln",))
+    rules += _linear(f"{tp}.attn.query", fp + ("attn", "query"))
+    rules += _linear(f"{tp}.attn.key", fp + ("attn", "key"), bias=False)
+    rules += _linear(f"{tp}.attn.value", fp + ("attn", "value"))
+    rules += _linear(f"{tp}.attn.out", fp + ("attn", "out"))
+    if cross:
+        rules += _ln(f"{tp}.cross_attn_ln", fp + ("cross_attn_ln",))
+        rules += _linear(f"{tp}.cross_attn.query", fp + ("cross_attn", "query"))
+        rules += _linear(f"{tp}.cross_attn.key", fp + ("cross_attn", "key"),
+                         bias=False)
+        rules += _linear(f"{tp}.cross_attn.value", fp + ("cross_attn", "value"))
+        rules += _linear(f"{tp}.cross_attn.out", fp + ("cross_attn", "out"))
+    rules += _ln(f"{tp}.mlp_ln", fp + ("mlp_ln",))
+    rules += _linear(f"{tp}.mlp.0", fp + ("mlp_0",))
+    rules += _linear(f"{tp}.mlp.2", fp + ("mlp_2",))
+    return rules
+
+
+def whisper_rules(n_audio_layer: int, n_text_layer: int) -> List[Rule]:
+    rules: List[Rule] = []
+    rules += [
+        Rule("encoder.conv1.weight", ("encoder", "conv1", "kernel"), "conv1d"),
+        Rule("encoder.conv1.bias", ("encoder", "conv1", "bias"), "id"),
+        Rule("encoder.conv2.weight", ("encoder", "conv2", "kernel"), "conv1d"),
+        Rule("encoder.conv2.bias", ("encoder", "conv2", "bias"), "id"),
+    ]
+    for i in range(n_audio_layer):
+        rules += _block_rules(f"encoder.blocks.{i}",
+                              ("encoder", f"block_{i}"), cross=False)
+    rules += _ln("encoder.ln_post", ("encoder", "ln_post"))
+    rules += [
+        Rule("decoder.token_embedding.weight",
+             ("decoder", "token_embedding"), "id"),
+        Rule("decoder.positional_embedding",
+             ("decoder", "positional_embedding"), "id"),
+    ]
+    for i in range(n_text_layer):
+        rules += _block_rules(f"decoder.blocks.{i}",
+                              ("decoder", f"block_{i}"), cross=True)
+    rules += _ln("decoder.ln", ("decoder", "ln"))
+    return rules
+
+
+_HF_MAP = [
+    ("model.", ""),
+    ("encoder.layers.", "encoder.blocks."),
+    ("decoder.layers.", "decoder.blocks."),
+    ("self_attn_layer_norm", "attn_ln"),
+    ("encoder_attn_layer_norm", "cross_attn_ln"),
+    ("self_attn.q_proj", "attn.query"),
+    ("self_attn.k_proj", "attn.key"),
+    ("self_attn.v_proj", "attn.value"),
+    ("self_attn.out_proj", "attn.out"),
+    ("encoder_attn.q_proj", "cross_attn.query"),
+    ("encoder_attn.k_proj", "cross_attn.key"),
+    ("encoder_attn.v_proj", "cross_attn.value"),
+    ("encoder_attn.out_proj", "cross_attn.out"),
+    ("final_layer_norm", "mlp_ln"),
+    ("fc1", "mlp.0"),
+    ("fc2", "mlp.2"),
+    ("encoder.layer_norm", "encoder.ln_post"),
+    ("decoder.layer_norm", "decoder.ln"),
+    ("decoder.embed_tokens.weight", "decoder.token_embedding.weight"),
+    ("decoder.embed_positions.weight", "decoder.positional_embedding"),
+    ("encoder.embed_positions.weight", "encoder.positional_embedding"),
+]
+
+
+def hf_to_openai_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        for a, b in _HF_MAP:
+            k = k.replace(a, b)
+        out[k] = v
+    return out
+
+
+def load_whisper(path: str):
+    """Local whisper .pt → (flax params, WhisperConfig)."""
+    from ..models.whisper import WhisperConfig
+
+    ckpt = load_torch_pt(path)
+    dims = ckpt.get("dims", {})
+    sd = ckpt.get("model_state_dict", ckpt.get("state_dict", ckpt))
+    if any(k.startswith("model.") for k in sd):
+        sd = hf_to_openai_keys(sd)
+    if dims:
+        cfg = WhisperConfig(
+            n_vocab=int(dims["n_vocab"]),
+            n_audio_ctx=int(dims["n_audio_ctx"]),
+            n_audio_state=int(dims["n_audio_state"]),
+            n_audio_head=int(dims["n_audio_head"]),
+            n_audio_layer=int(dims["n_audio_layer"]),
+            n_text_ctx=int(dims["n_text_ctx"]),
+            n_text_state=int(dims["n_text_state"]),
+            n_text_head=int(dims["n_text_head"]),
+            n_text_layer=int(dims["n_text_layer"]),
+        )
+    else:
+        # infer from shapes
+        n_audio_layer = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("encoder.blocks.")
+        )
+        n_text_layer = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith("decoder.blocks.")
+        )
+        emb = np.asarray(sd["decoder.token_embedding.weight"])
+        state = emb.shape[1]
+        cfg = WhisperConfig(
+            n_vocab=emb.shape[0],
+            n_audio_state=np.asarray(sd["encoder.conv1.weight"]).shape[0],
+            n_audio_layer=n_audio_layer,
+            n_text_state=state,
+            n_text_layer=n_text_layer,
+            n_text_ctx=np.asarray(sd["decoder.positional_embedding"]).shape[0],
+            n_audio_head=max(1, state // 64),
+            n_text_head=max(1, state // 64),
+        )
+    params = apply_import(sd, whisper_rules(cfg.n_audio_layer, cfg.n_text_layer),
+                          strict=True)
+    return params, cfg

@@ -47,9 +47,32 @@ class TranscribeTool(BaseTool):
         """fn(wav_16k: np.ndarray) -> str"""
         cls._asr_backend = fn
 
-    def _load_backend(self, model_path: Optional[str]):
+    def _load_backend(self, model_path: Optional[str], lang: str = "en"):
         if TranscribeTool._asr_backend is not None:
             return TranscribeTool._asr_backend
+        model_path = model_path or os.environ.get("XVA_WHISPER_CKPT")
+        if model_path and os.path.isfile(model_path) and model_path.endswith(".pt"):
+            # native flax whisper from the local checkpoint (the reference's
+            # transcribe/whisper/{size}.pt role — transcribe/model.py:150-157)
+            from ..interop.whisper_map import load_whisper
+            from ..models.whisper import BpeDecoder, WhisperASR
+
+            params, cfg = load_whisper(model_path)
+            asr = WhisperASR(params, cfg)
+            tok = BpeDecoder.find(
+                os.path.dirname(model_path),
+                os.path.join(os.path.dirname(model_path), "assets"),
+            )
+
+            def fn(wav16k):
+                ids = asr.transcribe_tokens(wav16k, lang=lang)
+                if tok is None:
+                    # no tokenizer assets: emit ids so resume still works
+                    return " ".join(str(i) for i in ids)
+                return tok.decode(ids).strip()
+
+            TranscribeTool._asr_backend = fn
+            return fn
         if model_path and os.path.exists(model_path):
             from transformers import pipeline
 
@@ -66,12 +89,15 @@ class TranscribeTool(BaseTool):
         in_path = data.get("inPath") or data["inputDirectory"]
         out_dir = data.get("outputDirectory") or in_path
         settings = data.get("toolSettings", {})
-        backend = self._load_backend(settings.get("modelPath"))
+        backend = self._load_backend(settings.get("modelPath"),
+                                     settings.get("language", "en"))
         if backend is None:
             await self.error(
                 websocket,
-                "no ASR backend: pass toolSettings.modelPath (local whisper/"
-                "wav2vec2 weights) or register one via TranscribeTool.set_asr_backend",
+                "no ASR backend: pass toolSettings.modelPath (a local whisper "
+                ".pt runs on the native flax Whisper; HF dirs run via "
+                "transformers), set XVA_WHISPER_CKPT, or register one via "
+                "TranscribeTool.set_asr_backend",
             )
             return
         os.makedirs(out_dir, exist_ok=True)
