@@ -79,3 +79,47 @@ def _quiet_logger():
     lg.addHandler(logging.NullHandler())
     lg.propagate = False
     return lg
+
+
+def test_ui_endpoints(tmp_path):
+    from xva_trainer_tpu.app.server import _ui_html
+
+    html = _ui_html()
+    assert "<html" in html and "Dataset explorer" in html
+
+    ds = tmp_path / "ds"
+    (ds / "wavs").mkdir(parents=True)
+    y = (0.1 * np.sin(np.arange(11025) * 0.05)).astype(np.float32)
+    save_wav(str(ds / "wavs" / "a.wav"), y)
+    save_wav(str(ds / "wavs" / "b.wav"), y)
+    (ds / "metadata.csv").write_text("a.wav|hello there\n")
+
+    server = AppServer(logger=_quiet_logger())
+    info = run(server.handle_http("/datasetInfo", {"path": str(ds)}))
+    assert info["items"][0]["text"] == "hello there"
+    assert "b.wav" in info["untranscribed"]
+
+    run(server.handle_http(
+        "/updateTranscript",
+        {"path": str(ds), "name": "a.wav", "text": "edited line"},
+    ))
+    info = run(server.handle_http("/datasetInfo", {"path": str(ds)}))
+    assert info["items"][0]["text"] == "edited line"
+
+    q = run(server.handle_http("/queue", {}))
+    assert q["running"] is False and q["queue"] == []
+
+    g = run(server.handle_http("/graphs", {"dir": str(tmp_path)}))
+    assert g == {}
+
+
+def test_training_queue_persistence(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    server = AppServer(logger=_quiet_logger())
+    ts = server.training
+    ts.queue = [{"dataset_path": "/a"}, {"dataset_path": "/b"}]
+    ts.queue_index = 1
+    ts.save_queue()
+    ts2 = AppServer(logger=_quiet_logger()).training
+    assert ts2.load_queue()
+    assert ts2.queue_index == 1 and len(ts2.queue) == 2

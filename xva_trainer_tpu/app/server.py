@@ -23,6 +23,13 @@ from logging.handlers import RotatingFileHandler
 from typing import Any, Dict, Optional
 
 
+def _ui_html() -> str:
+    """The single-page UI (SURVEY §1 L1 parity surface) served at '/'."""
+    p = os.path.join(os.path.dirname(__file__), "ui.html")
+    with open(p, encoding="utf8") as f:
+        return f.read()
+
+
 def make_logger(path: str = "server.log") -> logging.Logger:
     """Rotating file logger, 2MB × 5 (reference server.py:68-97)."""
     logger = logging.getLogger("xva_trainer_tpu")
@@ -310,7 +317,81 @@ class AppServer:
             return await self._export_wav(body)
         if path == "/stopServer":
             raise SystemExit
+        # ---------------- UI data endpoints (SURVEY §2.7 parity) -----------
+        if path == "/datasetInfo":
+            return self._dataset_info(body["path"])
+        if path == "/updateTranscript":
+            return self._update_transcript(body["path"], body["name"],
+                                           body["text"])
+        if path == "/graphs":
+            p = os.path.join(body["dir"], "graphs.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+            return {}
+        if path == "/trainingLog":
+            p = os.path.join(body["dir"], "training.log")
+            if os.path.exists(p):
+                with open(p, encoding="utf8", errors="replace") as f:
+                    lines = f.read().split("\n")
+                return {"lines": lines[-int(body.get("tail", 50)):]}
+            return {"lines": []}
+        if path == "/queue":
+            return {"queue": self.training.queue,
+                    "index": self.training.queue_index,
+                    "running": self.training.running(),
+                    "paused": self.training.paused}
         return {"error": f"unknown path {path}"}
+
+    def _dataset_info(self, dataset_path: str) -> Dict:
+        """Dataset explorer payload: per-record transcript + duration + the
+        duplicate-name check (reference javascript/script.js:243-316)."""
+        from ..data.dataset import read_metadata
+
+        wav_dir = os.path.join(dataset_path, "wavs")
+        items = []
+        seen = set()
+        dupes = []
+        try:
+            metas = read_metadata(dataset_path)
+        except Exception:
+            metas = []
+        for it in metas:
+            name = os.path.basename(it.wav_path)
+            if name in seen:
+                dupes.append(name)
+            seen.add(name)
+            items.append({
+                "name": name,
+                "text": it.text,
+                "exists": os.path.exists(it.wav_path),
+            })
+        extra = []
+        if os.path.isdir(wav_dir):
+            extra = sorted(set(os.listdir(wav_dir)) - seen)
+        return {"items": items, "duplicates": dupes,
+                "untranscribed": [f for f in extra if f.endswith(".wav")]}
+
+    def _update_transcript(self, dataset_path: str, name: str, text: str) -> Dict:
+        meta = os.path.join(dataset_path, "metadata.csv")
+        rows = []
+        found = False
+        if os.path.exists(meta):
+            with open(meta, encoding="utf8") as f:
+                for line in f.read().split("\n"):
+                    if not line.strip():
+                        continue
+                    k = line.split("|")[0]
+                    if k == name or k == os.path.splitext(name)[0]:
+                        rows.append(f"{k}|{text}")
+                        found = True
+                    else:
+                        rows.append(line)
+        if not found:
+            rows.append(f"{name}|{text}")
+        with open(meta, "w", encoding="utf8") as f:
+            f.write("\n".join(rows))
+        return {"ok": True}
 
     async def _export_wav(self, body: Dict) -> Dict:
         """Preview synthesis + loudness normalization round trip
@@ -434,6 +515,14 @@ class AppServer:
                 self.wfile.write(payload)
 
             def _handle(self):
+                if self.command == "GET" and self.path in ("/", "/ui", "/index.html"):
+                    page = _ui_html().encode("utf8")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
+                    return
                 length = int(self.headers.get("Content-Length") or 0)
                 body = {}
                 if length:
