@@ -46,13 +46,33 @@ def bench_mel(B=64, T=221184, iters=50):
     return results
 
 
+# The reference's only training-throughput datapoint: xVAPitch dev notes
+# ~17-18k frames/s on 2 GPUs (training_util.py:48-56) → ~8750 frames/s/GPU.
+REFERENCE_XVAP_FRAMES_PER_SEC = 8750.0
+
+
 def main():
     import os
 
+    import jax
+
+    # compile cache: train-step graphs are large; first compile is cached
+    # across processes (see __graft_entry__._force_cpu_if_needed)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     extras = {}
-    if os.environ.get("XVA_BENCH_TRAIN") == "1":
-        # full train-step benchmarks (several-minute first compile over the
-        # remote-compile tunnel) — see bench_train.py; opt-in for the driver.
+    if os.environ.get("XVA_BENCH_TRAIN", "1") != "0":
+        # full-size train-step benchmarks (bench_train.py); first compile of
+        # the fused G+D graphs over the remote-compile tunnel takes minutes,
+        # subsequent runs hit the persistent cache
         try:
             from bench_train import bench_train_steps
 
@@ -61,12 +81,28 @@ def main():
             pass
 
     r = bench_mel()
-    line = {
-        "metric": "mel_frames_per_sec_per_chip",
-        "value": round(r["pallas"], 1),
-        "unit": "frames/s",
-        "vs_baseline": round(r["pallas"] / r["xla_fft"], 3),
-    }
+    if extras.get("xvapitch_frames_per_sec"):
+        # headline = the reference's own metric: xVAPitch train frames/s
+        # (Σ batch mel_lengths / optimizer-step wall time) vs its dev-note
+        # ~8.75k frames/s/GPU
+        line = {
+            "metric": "xvapitch_train_frames_per_sec_per_chip",
+            "value": round(extras["xvapitch_frames_per_sec"], 1),
+            "unit": "frames/s",
+            "vs_baseline": round(
+                extras["xvapitch_frames_per_sec"] / REFERENCE_XVAP_FRAMES_PER_SEC,
+                3,
+            ),
+            "mel_frames_per_sec_per_chip": round(r["pallas"], 1),
+            "mel_vs_xla_fft": round(r["pallas"] / r["xla_fft"], 3),
+        }
+    else:
+        line = {
+            "metric": "mel_frames_per_sec_per_chip",
+            "value": round(r["pallas"], 1),
+            "unit": "frames/s",
+            "vs_baseline": round(r["pallas"] / r["xla_fft"], 3),
+        }
     if extras:
         line.update(extras)
     print(json.dumps(line))

@@ -130,3 +130,22 @@ def test_feature_cache_and_batcher(tmp_path):
     rows = b["prior"][i, : ml, : tl].sum(axis=1)
     assert 0.8 < rows.mean() < 1.3
     assert np.all(rows > 0)
+
+
+def test_english_cleaners_v2():
+    from xva_trainer_tpu.data.text.cleaners_v2 import english_cleaners_v2
+    from xva_trainer_tpu.data.text.processor import TextProcessor
+
+    out = english_cleaners_v2("Meet at 5pm, room AK47.")
+    assert "five p.m." in out
+    assert "{ey1}" in out and "{k ey1}" in out  # A K spelled to ARPA braces
+    assert "forty seven" in out
+    out2 = english_cleaners_v2("24GB at 2.1GHz, panel 1920x1080")
+    assert "gigabytes" in out2 and "gigahertz" in out2
+    assert "nineteen twenty by ten eighty" in out2
+
+    tp = TextProcessor()
+    ids = tp.encode("FBI at 3pm")
+    assert len(ids) > 5
+    dec = tp.decode(ids)
+    assert "@EH1" in dec and "@B" in dec  # acronym letters became phonemes

@@ -53,6 +53,18 @@ def load_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tupl
     return np.clip(y, -1.0, 1.0), sr
 
 
+def wav_duration(path: str) -> float:
+    """Clip length in seconds from the wav header (no sample decode)."""
+    import wave
+
+    try:
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / max(w.getframerate(), 1)
+    except Exception:
+        y, sr = load_wav(path)
+        return len(y) / sr
+
+
 def save_wav(path: str, y: np.ndarray, sr: int = TARGET_SR) -> None:
     """Write float [-1,1] → 16-bit PCM wav."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

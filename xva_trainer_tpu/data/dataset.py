@@ -98,6 +98,25 @@ class FeatureCache:
         d = os.path.join(self.cache_dir, "durs")
         return os.path.isdir(d) and len(os.listdir(d)) >= len(self.items)
 
+    def max_file_len_sec(self) -> float:
+        """Longest clip in seconds (drives the reference's file-length batch
+        multiplier, fastpitch1_1/xva_train.py:401-403). Reads cached mel
+        lengths when available to avoid decoding wavs."""
+        hop = self.mel_cfg.hop_length
+        sr = self.mel_cfg.sample_rate
+        longest = 0.0
+        for it in self.items:
+            p = self._cache_path(it)
+            if os.path.exists(p):
+                with np.load(p) as z:
+                    frames = z["mel"].shape[1]
+                longest = max(longest, frames * hop / sr)
+            elif os.path.exists(it.wav_path):
+                from .audio_io import wav_duration
+
+                longest = max(longest, wav_duration(it.wav_path))
+        return longest or 10.0
+
     def build(self, progress: Optional[Callable[[int, int], None]] = None) -> None:
         """Compute features for all items missing from the cache."""
         import jax.numpy as jnp
@@ -208,6 +227,10 @@ class BucketBatcher:
         self.pitch_normalize = pitch_normalize
         self.drop_last = drop_last
         self.use_durs = False  # flipped on once durations are pre-extracted
+        # optional TextProcessor(p_arpabet=0.3) for the reference's per-word
+        # ARPAbet training mix (fastpitch1_1/xva_train.py:307): texts are
+        # re-encoded each epoch so the mix varies across epochs
+        self.arpabet_encoder = None
 
         # Assign items to buckets once.
         self.assignment: Dict[Bucket, List[Utterance]] = {b: [] for b in self.buckets}
@@ -265,9 +288,14 @@ class BucketBatcher:
         ids = []
         for i, it in enumerate(chunk):
             d = self.cache.load_item(it)
-            tl = min(len(d["tokens"]), b.text_len)
+            toks = d["tokens"]
+            if self.arpabet_encoder is not None:
+                mixed = self.arpabet_encoder.encode(it.text)
+                if len(mixed):
+                    toks = mixed
+            tl = min(len(toks), b.text_len)
             ml = min(d["mel"].shape[1], b.mel_len)
-            tokens[i, :tl] = d["tokens"][:tl]
+            tokens[i, :tl] = toks[:tl]
             mel[i, :ml] = d["mel"][:, :ml].T
             p = d["pitch"][:ml]
             if self.pitch_normalize:

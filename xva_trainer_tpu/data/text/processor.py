@@ -50,6 +50,7 @@ class TextProcessor:
         p_arpabet: float = 0.0,
         cmudict_path: Optional[str] = None,
         seed: int = 1234,
+        cleaner: str = "english_cleaners_v2",
     ):
         self.symbols = get_symbols(symbol_set)
         self.pad_idx = get_pad_idx(symbol_set)
@@ -57,6 +58,15 @@ class TextProcessor:
         self.p_arpabet = p_arpabet
         self.cmudict = CMUDict(cmudict_path)
         self.rng = random.Random(seed)
+        if cleaner == "english_cleaners_v2":
+            # the reference trains with english_cleaners_v2
+            # (fastpitch1_1/xva_train.py:308): adds datestime,
+            # letters+numbers, and acronym->{ARPA} spelling
+            from .cleaners_v2 import english_cleaners_v2
+
+            self.cleaner = english_cleaners_v2
+        else:
+            self.cleaner = english_cleaners
 
     # -- encoding --
 
@@ -69,20 +79,38 @@ class TextProcessor:
     def encode(self, text: str) -> np.ndarray:
         """Text (+ optional {ARPA} spans + dict-based phoneme mix) → ids.
 
-        Plain segments are cleaned; {brace} spans are taken as literal ARPAbet
-        (cleaners only run outside braces, as in the reference TextProcessing).
-        """
-        ids: List[int] = []
-        while text:
-            m = _curly_re.match(text)
-            if m:
-                if m.group(1):
-                    ids += self._encode_plain(english_cleaners(m.group(1)))
-                ids += self._arpabet_ids(m.group(2).upper().split())
-                text = m.group(3)
+        Plain segments are cleaned first (the v2 cleaner may itself introduce
+        {ARPA} spans for acronyms), then the combined string is re-parsed for
+        braces — cleaners never run inside braces, as in the reference
+        TextProcessing."""
+        def split_braces(s: str):
+            out = []
+            while s:
+                m = _curly_re.match(s)
+                if m:
+                    if m.group(1):
+                        out.append(("plain", m.group(1)))
+                    out.append(("arpa", m.group(2)))
+                    s = m.group(3)
+                else:
+                    out.append(("plain", s))
+                    break
+            return out
+
+        segments = []
+        for kind, content in split_braces(text):
+            if kind == "arpa":
+                segments.append((kind, content))
             else:
-                ids += self._encode_plain(english_cleaners(text))
-                break
+                # the v2 cleaner may itself emit {ARPA} spans (acronyms)
+                segments.extend(split_braces(self.cleaner(content)))
+
+        ids: List[int] = []
+        for kind, content in segments:
+            if kind == "arpa":
+                ids += self._arpabet_ids(content.upper().split())
+            else:
+                ids += self._encode_plain(content)
         return np.asarray(ids, dtype=np.int32)
 
     def _encode_plain(self, text: str) -> List[int]:

@@ -338,8 +338,12 @@ class FastPitchTrainer:
         self.ckpt.save(self.total_iter, self.state, host)
 
     def train(self, batcher: BucketBatcher, max_epochs: int = 10**6,
-              max_iters: Optional[int] = None) -> Dict:
-        """Run stages until stage 4 completes (or budget is hit)."""
+              max_iters: Optional[int] = None, batcher_factory=None) -> Dict:
+        """Run stages until stage 4 completes (or budget is hit).
+
+        batcher_factory(stage) -> BucketBatcher lets callers apply the
+        reference's per-stage batch-size multipliers (xva_train.py:387-404)
+        when the stage changes."""
         rng = jax.random.PRNGKey(self.cfg.seed + 1)
         if not hasattr(self, "state"):
             self.setup(batcher)
@@ -351,6 +355,8 @@ class FastPitchTrainer:
             if prev_stage == 1 and self.stage == 2:
                 self.extract_durations(batcher)
                 self._stage_objects()  # rebuild step with use_gt_durs
+            if self.stage != prev_stage and batcher_factory is not None:
+                batcher = batcher_factory(self.stage)
             if all_done or self.stop_requested:
                 break
             if max_iters and self.total_iter >= max_iters:

@@ -35,28 +35,81 @@ class PipelineConfig:
     voice_name: str = "voice"
 
 
+STAGE_BS_MULT = {1: 1.5, 2: 12.0, 3: 3.5, 4: 4.0}
+
+
+def stage_batch_size(base: int, stage: int, max_file_len_sec: float,
+                     n_devices: int = 1) -> int:
+    """Per-stage batch sizing (reference fastpitch1_1/xva_train.py:387-404):
+    stage multiplier ×1.5/12/3.5/4, × device count, × (10 / max clip
+    seconds)."""
+    mult = STAGE_BS_MULT.get(stage, 1.0)
+    file_mult = 10.0 / max(max_file_len_sec, 1e-6)
+    return max(1, int(base * mult * n_devices * file_mult))
+
+
+def _is_oom(err: Exception) -> bool:
+    s = str(err)
+    return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
+
+
 def train_v2_pipeline(
     cfg: PipelineConfig,
     model_cfg: FastPitchConfig = FastPitchConfig(),
     gen_cfg: HifiganConfig = HifiganConfig(),
     mesh=None,
     max_iters: Optional[int] = None,
+    _attempt: int = 0,
 ) -> Dict:
-    """The reference's stage 1→5 schedule as one call."""
+    """The reference's stage 1→5 schedule as one call, with the OOM
+    batch-size retreat (reference handleTrainer:131-145: on device OOM, drop
+    batch_size by 3 and restart from the last checkpoint)."""
+    try:
+        return _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters)
+    except Exception as e:
+        if _is_oom(e) and cfg.batch_size > 3 and _attempt < 8:
+            cfg = dataclasses.replace(cfg, batch_size=cfg.batch_size - 3)
+            return train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh,
+                                     max_iters, _attempt + 1)
+        raise
+
+
+def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
     logger = TrainingLogger(cfg.output_path)
     tp = TextProcessor()
     cache = FeatureCache(cfg.dataset_path, tp.encode)
     cache.build()
+    max_len_sec = cache.max_file_len_sec()
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
-    batcher = BucketBatcher(cache, batch_size=cfg.batch_size)
     fp_cfg = FastPitchTrainConfig(
         output_dir=cfg.output_path,
         batch_size=cfg.batch_size,
         target_bs=cfg.target_bs,
     )
     fp = FastPitchTrainer(cache, fp_cfg, model_cfg, mesh=mesh, logger=logger)
+
+    # ARPAbet p=0.3 training mix when a CMUdict is available
+    # (reference xva_train.py:307)
+    arpabet_tp = None
+    cmu = os.environ.get("XVA_CMUDICT") or os.path.join(
+        cfg.dataset_path, "cmudict.txt"
+    )
+    if os.path.exists(cmu):
+        arpabet_tp = TextProcessor(p_arpabet=0.3, cmudict_path=cmu)
+
+    def batcher_for(stage: int) -> BucketBatcher:
+        bs = stage_batch_size(cfg.batch_size, stage, max_len_sec, n_dev)
+        b = BucketBatcher(cache, batch_size=bs)
+        b.arpabet_encoder = arpabet_tp
+        return b
+
+    batcher = batcher_for(fp.stage)
     fp.setup(batcher)
-    fp_result = fp.train(batcher, max_epochs=cfg.max_fp_epochs, max_iters=max_iters)
+    fp_result = fp.train(batcher, max_epochs=cfg.max_fp_epochs,
+                         max_iters=max_iters, batcher_factory=batcher_for)
     fp_path = fp.export(cfg.voice_name)
     logger.log(f"[pipeline] FastPitch done: {fp_result} → {fp_path}")
 
