@@ -202,9 +202,11 @@ class MakeSrtTool(BaseTool):
 
 class SourceSeparationTool(BaseTool):
     """'ass': speech enhancement. The reference runs a pretrained Asteroid
-    DCCRNet (audio_source_separation/model.py:16-42); without those weights
-    this applies a native spectral-gating enhancer (per-file noise floor
-    estimate + Wiener-style mask), with a hook for a learned model."""
+    DCCRNet (audio_source_separation/model.py:16-42). Here, in priority
+    order: a registered backend; the native learned complex-ratio-mask
+    denoiser (models.enhance) when trained weights are available
+    (toolSettings.modelPath or XVA_ASS_CKPT orbax dir); else the native
+    spectral-gating enhancer (per-file noise floor + Wiener mask)."""
 
     _model_backend = None
 
@@ -212,16 +214,36 @@ class SourceSeparationTool(BaseTool):
     def set_model_backend(cls, fn):
         cls._model_backend = fn
 
+    def _load_learned(self, model_path: Optional[str]):
+        if SourceSeparationTool._model_backend is not None:
+            return SourceSeparationTool._model_backend
+        model_path = model_path or os.environ.get("XVA_ASS_CKPT")
+        if model_path and os.path.isdir(model_path):
+            import orbax.checkpoint as ocp
+
+            from ..models.enhance import SpeechEnhancer
+
+            params = ocp.StandardCheckpointer().restore(
+                os.path.abspath(model_path)
+            )
+            enh = SpeechEnhancer(params)
+            fn = lambda y, sr: enh.enhance(y)
+            SourceSeparationTool._model_backend = fn
+            return fn
+        return None
+
     async def run(self, data: Dict, websocket=None):
         in_path = data.get("inPath") or data["inputDirectory"]
         out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
         os.makedirs(out_dir, exist_ok=True)
         files = list_audio_files(in_path)
+        settings = data.get("toolSettings", {})
+        backend = self._load_learned(settings.get("modelPath"))
 
         def work(f):
             y, sr = decode_any(f)
-            if SourceSeparationTool._model_backend is not None:
-                out = SourceSeparationTool._model_backend(y, sr)
+            if backend is not None:
+                out = backend(y, sr)
             else:
                 out = self._spectral_gate(y)
             save_wav(os.path.join(out_dir, os.path.basename(f)), out, sr)
