@@ -59,3 +59,22 @@ def test_find_silences():
     assert len(regions) == 1
     s, e = regions[0]
     assert abs(s / sr - 0.5) < 0.1 and abs(e / sr - 1.5) < 0.1
+
+
+def test_native_loudness_parity():
+    import numpy as np
+
+    from xva_trainer_tpu import native
+    from xva_trainer_tpu.ops import loudness as L
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no compiler")
+    sr = 22050
+    t = np.arange(sr * 3) / sr
+    y = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    a = native.integrated_loudness(y, sr)
+    # numpy reference path (2-D input skips the native shortcut)
+    b = L.integrated_loudness(y[:, None], sr)
+    assert abs(a - b) < 1e-4

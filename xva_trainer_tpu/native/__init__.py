@@ -70,6 +70,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.xva_find_silences.restype = ctypes.c_int
     lib.xva_free.argtypes = [c_float_p]
+    lib.xva_integrated_loudness.argtypes = [c_float_p, ctypes.c_int,
+                                            ctypes.c_int]
+    lib.xva_integrated_loudness.restype = ctypes.c_float
     _lib = lib
     return lib
 
@@ -144,3 +147,14 @@ def find_silences(y: np.ndarray, sr: int, threshold_db: float = -40.0,
         regions.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 2048,
     )
     return [(int(regions[i * 2]), int(regions[i * 2 + 1])) for i in range(n)]
+
+
+def integrated_loudness(y: np.ndarray, sr: int) -> Optional[float]:
+    """BS.1770-4 gated loudness (LUFS), native biquad path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, np.float32)
+    return float(lib.xva_integrated_loudness(
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(y), sr
+    ))

@@ -237,4 +237,106 @@ int xva_find_silences(const float* y, int n, int sr, float threshold_db,
     return count;
 }
 
+// -------------------------------------------- BS.1770-4 gated loudness
+// K-weighting (shelf + RLB high-pass biquads re-derived per sample rate,
+// ITU-R BS.1770-4 Annex 1), 400 ms blocks at 75% overlap, -70 LUFS absolute
+// and -10 LU relative gates. Mono input. Returns integrated LUFS.
+static void biquad_coeffs_shelf(double fs, double* b, double* a) {
+    const double db = 3.999843853973347;
+    const double f0 = 1681.974450955533;
+    const double Q = 0.7071752369554196;
+    double K = std::tan(M_PI * f0 / fs);
+    double Vh = std::pow(10.0, db / 20.0);
+    double Vb = std::pow(Vh, 0.4996667741545416);
+    double a0 = 1.0 + K / Q + K * K;
+    b[0] = (Vh + Vb * K / Q + K * K) / a0;
+    b[1] = 2.0 * (K * K - Vh) / a0;
+    b[2] = (Vh - Vb * K / Q + K * K) / a0;
+    a[0] = 1.0;
+    a[1] = 2.0 * (K * K - 1.0) / a0;
+    a[2] = (1.0 - K / Q + K * K) / a0;
+}
+
+static void biquad_coeffs_hp(double fs, double* b, double* a) {
+    const double f0 = 38.13547087602444;
+    const double Q = 0.5003270373238773;
+    double K = std::tan(M_PI * f0 / fs);
+    double denom = 1.0 + K / Q + K * K;
+    b[0] = 1.0 / denom;
+    b[1] = -2.0 / denom;
+    b[2] = 1.0 / denom;
+    a[0] = 1.0;
+    a[1] = 2.0 * (K * K - 1.0) / denom;
+    a[2] = (1.0 - K / Q + K * K) / denom;
+}
+
+static inline void biquad_run(const double* b, const double* a,
+                              const float* x, double* y, int n) {
+    double x1 = 0, x2 = 0, y1 = 0, y2 = 0;
+    for (int i = 0; i < n; i++) {
+        double xi = (double)x[i];
+        double yi = b[0] * xi + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2;
+        x2 = x1; x1 = xi; y2 = y1; y1 = yi;
+        y[i] = yi;
+    }
+}
+
+static inline void biquad_run_d(const double* b, const double* a,
+                                const double* x, double* y, int n) {
+    double x1 = 0, x2 = 0, y1 = 0, y2 = 0;
+    for (int i = 0; i < n; i++) {
+        double xi = x[i];
+        double yi = b[0] * xi + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2;
+        x2 = x1; x1 = xi; y2 = y1; y1 = yi;
+        y[i] = yi;
+    }
+}
+
+float xva_integrated_loudness(const float* y, int n, int fs) {
+    if (n <= 0) return -70.0f;
+    double bs[3], as_[3], bh[3], ah[3];
+    biquad_coeffs_shelf((double)fs, bs, as_);
+    biquad_coeffs_hp((double)fs, bh, ah);
+
+    int block = (int)(0.4 * fs);
+    int hop = (int)(0.1 * fs);
+    int n_padded = n < block ? block : n;
+    double* z1 = (double*)calloc(n_padded, sizeof(double));
+    double* z = (double*)calloc(n_padded, sizeof(double));
+    biquad_run(bs, as_, y, z1, n);  // zeros beyond n stay zero inputs
+    // pad region: continue filtering zeros to mirror numpy zero-pad-then-
+    // filter ordering closely enough (blocks there fall below the gate)
+    biquad_run_d(bh, ah, z1, z, n_padded);
+
+    int n_blocks = 1 + (n_padded - block) / hop;
+    double* ms = (double*)malloc(sizeof(double) * n_blocks);
+    // sliding mean square via prefix sums
+    double* prefix = (double*)malloc(sizeof(double) * (n_padded + 1));
+    prefix[0] = 0.0;
+    for (int i = 0; i < n_padded; i++) prefix[i + 1] = prefix[i] + z[i] * z[i];
+    for (int bI = 0; bI < n_blocks; bI++) {
+        int s = bI * hop;
+        ms[bI] = (prefix[s + block] - prefix[s]) / block;
+    }
+    // absolute gate
+    double acc = 0.0; int cnt = 0;
+    for (int i = 0; i < n_blocks; i++) {
+        double lk = -0.691 + 10.0 * std::log10(ms[i] > 1e-12 ? ms[i] : 1e-12);
+        if (lk > -70.0) { acc += ms[i]; cnt++; }
+    }
+    float result = -70.0f;
+    if (cnt > 0) {
+        double rel_thresh = -0.691 + 10.0 * std::log10(acc / cnt) - 10.0;
+        double acc2 = 0.0; int cnt2 = 0;
+        for (int i = 0; i < n_blocks; i++) {
+            double lk = -0.691 + 10.0 * std::log10(ms[i] > 1e-12 ? ms[i] : 1e-12);
+            if (lk > -70.0 && lk > rel_thresh) { acc2 += ms[i]; cnt2++; }
+        }
+        if (cnt2 > 0)
+            result = (float)(-0.691 + 10.0 * std::log10(acc2 / cnt2));
+    }
+    free(z1); free(z); free(ms); free(prefix);
+    return result;
+}
+
 }  // extern "C"
