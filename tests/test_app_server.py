@@ -123,3 +123,26 @@ def test_training_queue_persistence(tmp_path, monkeypatch):
     ts2 = AppServer(logger=_quiet_logger()).training
     assert ts2.load_queue()
     assert ts2.queue_index == 1 and len(ts2.queue) == 2
+
+
+def test_save_recording(tmp_path):
+    import io
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    server = AppServer(logger=_quiet_logger())
+    sr = 44100
+    t = np.arange(sr) / sr
+    y = (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, y)
+    r = server.save_recording(str(tmp_path), "take1", buf.getvalue(),
+                              text="a recorded line")
+    assert r["ok"] and abs(r["seconds"] - 1.0) < 0.05
+    assert os.path.exists(tmp_path / "wavs" / "take1.wav")
+    # resampled to 22050 and registered in metadata
+    sr2, data = wavfile.read(tmp_path / "wavs" / "take1.wav")
+    assert sr2 == 22050
+    meta = (tmp_path / "metadata.csv").read_text()
+    assert "take1.wav|a recorded line" in meta

@@ -372,6 +372,37 @@ class AppServer:
         return {"items": items, "duplicates": dupes,
                 "untranscribed": [f for f in extra if f.endswith(".wav")]}
 
+    def save_recording(self, dataset_path: str, name: str, wav_bytes: bytes,
+                       text: str = "") -> Dict:
+        """Store a browser mic recording into <dataset>/wavs/ as 22050 Hz
+        mono and register its transcript line."""
+        import io
+
+        import numpy as np
+        from scipy.io import wavfile
+
+        from ..data.audio_io import save_wav
+        from ..data.audio_io import resample as _resample
+
+        sr, data = wavfile.read(io.BytesIO(wav_bytes))
+        if data.dtype.kind == "i":
+            y = data.astype(np.float32) / np.iinfo(data.dtype).max
+        else:
+            y = data.astype(np.float32)
+        if y.ndim > 1:
+            y = y.mean(axis=1)
+        if sr != 22050:
+            y = _resample(y, sr, 22050)
+        name = os.path.basename(name)
+        if not name.endswith(".wav"):
+            name += ".wav"
+        wav_dir = os.path.join(dataset_path, "wavs")
+        os.makedirs(wav_dir, exist_ok=True)
+        save_wav(os.path.join(wav_dir, name), y)
+        if text:
+            self._update_transcript(dataset_path, name, text)
+        return {"ok": True, "name": name, "seconds": len(y) / 22050.0}
+
     def _update_transcript(self, dataset_path: str, name: str, text: str) -> Dict:
         meta = os.path.join(dataset_path, "metadata.csv")
         rows = []
@@ -522,6 +553,26 @@ class AppServer:
                     self.send_header("Content-Length", str(len(page)))
                     self.end_headers()
                     self.wfile.write(page)
+                    return
+                if self.path.startswith("/uploadRecording"):
+                    # raw wav bytes; dataset/name in the query string
+                    # (mic recording straight into the dataset —
+                    # reference javascript/script.js:1005-1060)
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length)
+                    try:
+                        result = app.save_recording(
+                            q["path"][0], q["name"][0], raw,
+                            text=(q.get("text") or [""])[0],
+                        )
+                        self._respond(json.dumps(result).encode())
+                    except Exception:
+                        err = traceback.format_exc()
+                        app.logger.error(err)
+                        self._respond(json.dumps({"error": err}).encode(), 500)
                     return
                 length = int(self.headers.get("Content-Length") or 0)
                 body = {}
