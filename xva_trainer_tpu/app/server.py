@@ -179,10 +179,22 @@ class TrainingSession:
                                             d_vector=emb["main"])
                 priors_batcher.weighted_by_language = True
 
-        cfg = XvaTrainConfig(
+        # typed-config overlays: dataclass defaults < optional JSON beside the
+        # dataset < the UI/server message (SURVEY §5.6)
+        from ..utils.config import build_config
+
+        cfg, unknown = build_config(
+            XvaTrainConfig,
+            json_path=os.path.join(dataset_path, "train_config.json"),
+            message={k: v for k, v in data.items()
+                     if k not in ("dataset_path", "output_path", "model_type",
+                                  "lang", "checkpoint", "priors_root",
+                                  "max_steps", "queue")},
             output_dir=output_path, batch_size=bs,
             hifi_only=bool(data.get("hifi_only")),
         )
+        if unknown:
+            self.server.logger.info(f"[config] ignored unknown keys: {unknown}")
         self.trainer = XVAPitchTrainer(batcher, cfg,
                                        priors_batcher=priors_batcher)
         ckpt = data.get("checkpoint")

@@ -35,15 +35,25 @@ class CheckpointManager:
     def _path(self, step: int) -> str:
         return os.path.join(self.output_dir, f"{self.prefix}_{step}")
 
-    def save(self, step: int, state: Any, host_state: Optional[Dict] = None) -> str:
+    def save(self, step: int, state: Any, host_state: Optional[Dict] = None,
+             wait: bool = False) -> str:
+        """Schedule a checkpoint write. By default the write is async
+        (preemption-safe: the train loop keeps stepping while orbax persists;
+        the next save or an explicit wait joins the previous write) —
+        SURVEY §5.3's prescription vs the reference's blocking torch.save."""
         path = self._path(step)
+        self._ckptr.wait_until_finished()  # join any in-flight write first
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
         if host_state is not None:
             with open(path + ".json", "w") as f:
                 json.dump(host_state, f)
+        if wait:
+            self._ckptr.wait_until_finished()
         self._gc()
         return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
 
     def _steps(self):
         pat = re.compile(rf"^{re.escape(self.prefix)}_(\d+)$")
@@ -65,6 +75,7 @@ class CheckpointManager:
                 os.remove(side)
 
     def latest_step(self) -> Optional[int]:
+        self._ckptr.wait_until_finished()
         steps = self._steps()
         return steps[-1] if steps else None
 
