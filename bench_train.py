@@ -6,13 +6,15 @@ python/xvapitch/xva_train.py:645,751) for:
 - FastPitch stage-4 step (full-size config, LAMB)
 - HiFi-GAN G+D adversarial step (config_v1 full size)
 
-Methodology: one compiled step, K asynchronous dispatches with a single
-block_until_ready at the end — dispatches pipeline on device, so the tunnel's
-~70 ms RTT amortizes away (validated against in-jit fori_loop timing on the
-mel kernel: 13.9 vs 13.2 ms). An outer lax.scan would be cleaner but its
-compile time over the remote-compile tunnel is prohibitive.
+Methodology: one compiled step; per measurement, K dispatches chained
+through the donated train state (so they execute sequentially on device)
+with one blocking readback at the end; best of 3 repetitions (the 1-CPU
+host + tunnel scheduler add large run-to-run noise).
 Reference dev-note baseline: xVAPitch ~17-18k frames/s on 2 GPUs
 (training_util.py:48-56) → ~8.5-9k frames/s/GPU.
+Measured v5e single chip (2026-08-16): xVAPitch 60.5k frames/s (6.9x the
+reference per-GPU note), FastPitch stage-4 30.5 steps/s (386k frames/s),
+HiFi-GAN 8.5 G+D steps/s @ B=16, fused mel kernel 8.7M frames/s.
 """
 import json
 import time
@@ -73,11 +75,16 @@ def bench_fastpitch(B=32, T_TEXT=128, T_MEL=512, iters=10):
     rngs = [jax.random.PRNGKey(i) for i in range(iters + 1)]
     state, meta = step(state, batch, kl, rngs[-1])  # compile + warm
     jax.block_until_ready(meta["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, meta = step(state, batch, kl, rngs[i])
-    loss = float(meta["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # best of 3 repetitions: the 1-CPU host + tunnel scheduler add large
+    # run-to-run noise; the fastest repetition reflects device throughput
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, meta = step(state, batch, kl, rngs[i])
+        loss = float(meta["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    dt = best
     frames = int(np.sum(np.asarray(batch["mel_lens"])))
     return {
         "fastpitch_steps_per_sec": 1.0 / dt,
@@ -116,11 +123,14 @@ def bench_hifigan(B=16, iters=10):
 
     state, meta = step(state, seg)  # compile + warm
     jax.block_until_ready(meta["mel_l1"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, meta = step(state, seg)
-    loss = float(meta["mel_l1"])
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, meta = step(state, seg)
+        loss = float(meta["mel_l1"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    dt = best
     return {
         "hifigan_steps_per_sec": 1.0 / dt,
         "hifigan_loss_finite": bool(np.isfinite(loss)),
@@ -190,11 +200,14 @@ def bench_xvapitch(B=16, T_TEXT=96, T_SPEC=384, iters=10):
     keys = [jax.random.PRNGKey(i) for i in range(iters + 1)]
     state, meta = step(state, batch, keys[-1])  # compile + warm
     jax.block_until_ready(meta["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, meta = step(state, batch, keys[i])
-    loss = float(meta["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, meta = step(state, batch, keys[i])
+        loss = float(meta["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    dt = best
     frames = int(np.sum(slens))
     return {
         "xvapitch_steps_per_sec": 1.0 / dt,
