@@ -12,6 +12,7 @@ path being verified.
 """
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import re
 import os
@@ -26,6 +27,9 @@ def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     m = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+    # dependency probing) doesn't choke on __spec__ is None
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
