@@ -149,7 +149,7 @@ class TrainingSession:
         bs = int(data.get("batch_size", 16))
 
         def text_to_ids(text):
-            return self._text_to_ids(text, lang)
+            return self.server._text_to_ids(text, lang)
 
         # full reference flow: loudness preprocess → g2p pre-cache → per-item
         # speaker embs → feature cache → dataset centroid
@@ -195,7 +195,19 @@ class TrainingSession:
         )
         if unknown:
             self.server.logger.info(f"[config] ignored unknown keys: {unknown}")
-        self.trainer = XVAPitchTrainer(batcher, cfg,
+        from ..models.xvapitch import XVAPitchConfig
+
+        model_cfg = XVAPitchConfig()
+        if isinstance(data.get("model_config"), dict):
+            mc = dict(data["model_config"])
+            for k, v in list(mc.items()):
+                if isinstance(v, list):
+                    mc[k] = tuple(v)
+            model_cfg = XVAPitchConfig(**mc)
+        from ..parallel.mesh import make_mesh_for_batch
+
+        self.trainer = XVAPitchTrainer(batcher, cfg, model_cfg,
+                                       mesh=make_mesh_for_batch(bs),
                                        priors_batcher=priors_batcher)
         ckpt = data.get("checkpoint")
         pretrained = ckpt if (ckpt and ckpt != "[base]"
@@ -465,7 +477,18 @@ class AppServer:
 
         from ..models.xvapitch import XVAPitch, XVAPitchConfig
 
-        model = XVAPitch(XVAPitchConfig())
+        mc = XVAPitchConfig()
+        if os.path.isdir(ckpt_path):
+            # training runs persist their architecture beside the checkpoints
+            mc_path = os.path.join(ckpt_path, "model_config.json")
+            if os.path.exists(mc_path):
+                with open(mc_path) as f:
+                    raw = json.load(f)
+                for k, v in list(raw.items()):
+                    if isinstance(v, list):
+                        raw[k] = tuple(v)
+                mc = XVAPitchConfig(**raw)
+        model = XVAPitch(mc)
         ids = self._text_to_ids(text, lang)
         tokens = jnp.asarray(np.pad(ids, (0, max(0, 128 - len(ids))))[:128])[None]
         dvec = jnp.asarray(

@@ -28,6 +28,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
     return Mesh(devices, axis_names=("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, n_model: int = 1) -> Mesh:
+    """DP mesh whose data axis divides the batch size (largest such divisor
+    that fits the available devices)."""
+    max_data = max(1, len(jax.devices()) // n_model)
+    n_data = 1
+    for d in range(1, max_data + 1):
+        if batch_size % d == 0:
+            n_data = d
+    return make_mesh(n_data=n_data, n_model=n_model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

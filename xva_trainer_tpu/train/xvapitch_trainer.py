@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import math
 import os
 import time
@@ -288,6 +289,11 @@ class XVAPitchTrainer:
         )
         self.ckpt = CheckpointManager(cfg.output_dir, prefix="xVAPitch")
         self.meter = ThroughputMeter()
+        # persist the model architecture beside the checkpoints so inference
+        # (/exportWav) can rebuild the right model for any output dir
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        with open(os.path.join(cfg.output_dir, "model_config.json"), "w") as f:
+            json.dump(dataclasses.asdict(model_cfg), f, indent=2)
 
         def sched(lr):
             return lambda step: lr * cfg.lr_gamma**step
