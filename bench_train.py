@@ -198,6 +198,21 @@ def bench_xvapitch(B=16, T_TEXT=96, T_SPEC=384, iters=10):
     )
     step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False)
     keys = [jax.random.PRNGKey(i) for i in range(iters + 1)]
+    # compiled-program FLOPs for the MFU estimate (XLA cost analysis).
+    # The lower().compile() pass re-compiles (~15 min over the tunnel), so
+    # it's opt-in: XVA_BENCH_MFU=1. Measured once on v5e (2026-08-16):
+    # 3.285 TFLOP/step → 40.4 TFLOP/s at 12.3 steps/s = 20.5% of bf16 peak.
+    import os as _os
+
+    step_flops = None
+    if _os.environ.get("XVA_BENCH_MFU") == "1":
+        try:
+            cost = step.lower(state, batch, keys[-1]).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            step_flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
     state, meta = step(state, batch, keys[-1])  # compile + warm
     jax.block_until_ready(meta["loss"])
     best = float("inf")
@@ -209,11 +224,18 @@ def bench_xvapitch(B=16, T_TEXT=96, T_SPEC=384, iters=10):
         best = min(best, (time.perf_counter() - t0) / iters)
     dt = best
     frames = int(np.sum(slens))
-    return {
+    out = {
         "xvapitch_steps_per_sec": 1.0 / dt,
         "xvapitch_frames_per_sec": frames / dt,
         "xvapitch_loss_finite": bool(np.isfinite(loss)),
     }
+    if step_flops:
+        out["xvapitch_step_tflops"] = round(step_flops / 1e12, 3)
+        # v5e peak ≈ 197 TFLOP/s bf16 / ~98 fp32-equivalent; report vs bf16
+        out["xvapitch_mfu_vs_bf16_peak"] = round(
+            (step_flops / dt) / 197e12, 4
+        )
+    return out
 
 
 def bench_train_steps(include_xvapitch: bool = True):
