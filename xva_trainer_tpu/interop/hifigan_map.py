@@ -18,11 +18,15 @@ from .mapping import Rule, _t2f
 from .xvapitch_map import hifigan_decoder_rules, period_disc_rules, scale_disc_rules
 
 
-def v2_generator_rules(tp: str = "", fp: Tuple[str, ...] = ()) -> List[Rule]:
+def v2_generator_rules(tp: str = "", fp: Tuple[str, ...] = (),
+                       num_ups: int = 4, num_kernels: int = 3,
+                       num_dilations: int = 3) -> List[Rule]:
     """Standalone v2 generator: weight-normed conv_pre/conv_post with bias,
     no cond layer."""
     return hifigan_decoder_rules(
-        tp=tp, fp=fp, cond=False, pre_post_weight_norm=True, post_bias=True,
+        tp=tp, fp=fp, num_ups=num_ups, num_kernels=num_kernels,
+        num_dilations=num_dilations,
+        cond=False, pre_post_weight_norm=True, post_bias=True,
     )
 
 

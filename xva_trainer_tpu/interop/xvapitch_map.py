@@ -140,6 +140,7 @@ def hifigan_decoder_rules(
     *,
     num_ups: int = 4,
     num_kernels: int = 3,
+    num_dilations: int = 3,
     cond: bool = True,
     pre_post_weight_norm: bool = False,
     post_bias: bool = False,
@@ -171,7 +172,7 @@ def hifigan_decoder_rules(
         for jj in range(num_kernels):
             m = i * num_kernels + jj
             rb = fp + (f"ResBlock1_{m}",)
-            for c in range(3):  # three dilations
+            for c in range(num_dilations):
                 rules += _wn_conv(j(f"resblocks.{m}.convs1.{c}"), rb,
                                   f"Conv_{2 * c}", f"WeightNorm_{2 * c}")
                 rules += _wn_conv(j(f"resblocks.{m}.convs2.{c}"), rb,

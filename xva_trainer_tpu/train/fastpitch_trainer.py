@@ -361,6 +361,7 @@ class FastPitchTrainer:
                 break
             if max_iters and self.total_iter >= max_iters:
                 break
+        self.ckpt.wait()  # join any in-flight async checkpoint write
         return {
             "stage": self.stage,
             "epoch": self.epoch,

@@ -356,6 +356,7 @@ class HifiganTrainer:
                 break
             if max_iters and self.total_iter >= max_iters:
                 break
+        self.ckpt.wait()  # join any in-flight async checkpoint write
         return {
             "epoch": self.epoch,
             "total_iter": self.total_iter,
@@ -371,7 +372,13 @@ class HifiganTrainer:
 
         out_dir = out_dir or self.cfg.output_dir
         path = os.path.join(out_dir, f"{voice_name}.hg.pt")
-        sd = apply_export(self.state.g_params, v2_generator_rules(),
-                          dtype=np.float32)
+        gc = self.gen.cfg
+        sd = apply_export(
+            self.state.g_params,
+            v2_generator_rules(num_ups=len(gc.upsample_rates),
+                               num_kernels=len(gc.resblock_kernel_sizes),
+                               num_dilations=len(gc.resblock_dilation_sizes[0])),
+            dtype=np.float32,
+        )
         torch_save_compatible({"generator": sd}, path)
         return path

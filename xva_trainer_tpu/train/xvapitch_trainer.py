@@ -463,6 +463,7 @@ class XVAPitchTrainer:
 
                 if max_steps and self.training_iters >= max_steps:
                     break
+        self.ckpt.wait()  # join any in-flight async checkpoint write
         return {
             "stage": self.stage,
             "training_iters": self.training_iters,
