@@ -73,6 +73,22 @@ class TranscribeTool(BaseTool):
 
             TranscribeTool._asr_backend = fn
             return fn
+        if model_path and os.path.isdir(model_path) and os.path.exists(
+            os.path.join(model_path, "config.json")
+        ):
+            import json as _json
+
+            with open(os.path.join(model_path, "config.json")) as f:
+                mtype = _json.load(f).get("model_type", "")
+            if mtype == "wav2vec2":
+                # native flax wav2vec2 CTC (the reference's legacy
+                # per-language backend — transcribe/wav2vec2/model.py)
+                from ..models.wav2vec2 import Wav2Vec2CTC
+
+                asr = Wav2Vec2CTC.from_hf_dir(model_path)
+                fn = lambda wav16k: asr.transcribe(wav16k)
+                TranscribeTool._asr_backend = fn
+                return fn
         if model_path and os.path.exists(model_path):
             from transformers import pipeline
 
