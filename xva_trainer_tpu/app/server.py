@@ -164,14 +164,25 @@ class TrainingSession:
         batcher = XvaBatcher([cache], batch_size=bs, d_vector=emb["main"])
 
         priors_batcher = None
+        priors_langs: list = []
         priors_root = data.get("priors_root")
         if priors_root and os.path.isdir(priors_root):
-            dirs, langs_loaded = await asyncio.to_thread(
-                read_priors_datasets, [lang], [priors_root]
+            langs = data.get("priors_languages") or [lang]
+            dirs, priors_langs = await asyncio.to_thread(
+                read_priors_datasets, langs, [priors_root]
             )
             caches = []
             for d in dirs:
-                c = XvaFeatureCache(d, text_to_ids, lang=lang)
+                # each priors dataset tokenizes in its own language
+                # (dir prefix <lang>_<name> — reference dataset.py:604-607)
+                from ..data.language_manager import LanguageManager
+
+                d_lang = LanguageManager.parse_language_from_dir(d) or lang
+
+                def make_tti(l):
+                    return lambda text: self.server._text_to_ids(text, l)
+
+                c = XvaFeatureCache(d, make_tti(d_lang), lang=d_lang)
                 await asyncio.to_thread(c.build)
                 caches.append(c)
             if caches:
@@ -220,7 +231,8 @@ class TrainingSession:
         )
         voice = os.path.basename(dataset_path.rstrip("/"))
         self.trainer.export(voice, lang=lang, base_emb=emb["main"],
-                            other_embs=emb["others"].tolist())
+                            other_embs=emb["others"].tolist(),
+                            lang_capabilities=sorted(set([lang] + priors_langs)))
 
     async def _run_v2(self, data: Dict, websocket):
         from ..train.pipeline import PipelineConfig, train_v2_pipeline

@@ -545,7 +545,8 @@ class XVAPitchTrainer:
         return paths
 
     def export(self, voice_name: str, lang: str = "en", base_emb=None,
-               other_embs=None, out_dir: Optional[str] = None) -> str:
+               other_embs=None, out_dir: Optional[str] = None,
+               lang_capabilities: Optional[List[str]] = None) -> str:
         out_dir = out_dir or self.cfg.output_dir
         path = os.path.join(out_dir, f"{voice_name}.pt")
         export_xvapitch_v3(
@@ -553,5 +554,6 @@ class XVAPitchTrainer:
             base_emb=base_emb, other_embs=other_embs,
             d_params=self.state.d_params["params"],
             model_cfg=self.model.cfg,
+            lang_capabilities=lang_capabilities,
         )
         return path
