@@ -77,8 +77,12 @@ def main():
             from bench_train import bench_train_steps
 
             extras = bench_train_steps()
-        except Exception:
-            pass
+        except Exception as e:  # keep the headline line valid, but say why
+            import sys
+            import traceback
+
+            print(f"bench_train failed: {e}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
 
     r = bench_mel()
     if extras.get("xvapitch_frames_per_sec"):

@@ -12,9 +12,11 @@ with one blocking readback at the end; best of 3 repetitions (the 1-CPU
 host + tunnel scheduler add large run-to-run noise).
 Reference dev-note baseline: xVAPitch ~17-18k frames/s on 2 GPUs
 (training_util.py:48-56) → ~8.5-9k frames/s/GPU.
-Measured v5e single chip (2026-08-16): xVAPitch 60.5k frames/s (6.9x the
-reference per-GPU note), FastPitch stage-4 30.5 steps/s (386k frames/s),
-HiFi-GAN 8.5 G+D steps/s @ B=16, fused mel kernel 8.7M frames/s.
+Measured v5e single chip (2026-08-16, bf16 mixed precision — train/amp.py):
+xVAPitch 71.1k frames/s @ B=32 (8.1x the reference per-GPU note; 61.7k @
+B=16), FastPitch stage-4 30.2 steps/s (381k frames/s), HiFi-GAN 11.0 G+D
+steps/s @ B=16 (was 8.5 fp32 with the old two-forward step), fused mel
+kernel 8.7M frames/s.
 """
 import json
 import time
@@ -137,7 +139,10 @@ def bench_hifigan(B=16, iters=10):
     }
 
 
-def bench_xvapitch(B=16, T_TEXT=96, T_SPEC=384, iters=10):
+def bench_xvapitch(B=64, T_TEXT=96, T_SPEC=384, iters=10):
+    # B=64 @ 384 frames is what the trainer actually runs in its 384-mel
+    # bucket (XvaBatcher.batch_size_for: batch 32 at the 768 bucket scales
+    # to 64 here; memory-constant batch×frames)
     """Full-size xVAPitch fused G+D micro-step (the reference's headline
     frames/s metric: Σ batch mel_lengths / step wall time; dev-note baseline
     ~8.5-9k frames/s/GPU — training_util.py:48-56)."""

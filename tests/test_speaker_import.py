@@ -29,11 +29,16 @@ from ref_loader import install_stubs, load_ref_module
 @pytest.fixture(scope="module")
 def ref_encoder():
     install_stubs()
+    import importlib.machinery
     import sys
     import types
 
     # torchaudio stub: the module must import; use_torch_spec=False avoids
-    # instantiating MelSpectrogram in the trunk-parity path
+    # instantiating MelSpectrogram in the trunk-parity path. The stub is
+    # removed again at teardown — a spec-less module left in sys.modules
+    # breaks transformers' torchaudio availability probe in later test files
+    # (ValueError: torchaudio.__spec__ is None).
+    added = []
     if "torchaudio" not in sys.modules:
         ta = types.ModuleType("torchaudio")
         tr = types.ModuleType("torchaudio.transforms")
@@ -44,14 +49,18 @@ def ref_encoder():
 
         tr.MelSpectrogram = _Mel
         ta.transforms = tr
-        sys.modules["torchaudio"] = ta
-        sys.modules["torchaudio.transforms"] = tr
+        for name, mod_ in (("torchaudio", ta), ("torchaudio.transforms", tr)):
+            mod_.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod_
+            added.append(name)
     mod = load_ref_module("xvapitch/speaker_representation/main.py",
                           "ref_speaker_main")
     torch.manual_seed(0)
     m = mod.ResNetSpeakerEncoder(use_torch_spec=False)
     m.eval()
-    return m
+    yield m
+    for name in added:
+        sys.modules.pop(name, None)
 
 
 def test_trunk_parity(ref_encoder, tmp_path):

@@ -24,7 +24,7 @@ from xva_trainer_tpu.tools.audio_tools import find_silences, parse_srt, format_s
 
 
 def run(coro):
-    return asyncio.get_event_loop().run_until_complete(coro)
+    return asyncio.run(coro)
 
 
 def _tone(f=220.0, sec=1.0, amp=0.1, sr=22050):

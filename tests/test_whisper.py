@@ -121,7 +121,7 @@ def test_transcribe_tool_with_native_whisper(tiny_pair, tmp_path):
 
     TranscribeTool._asr_backend = None
     tool = TranscribeTool()
-    asyncio.get_event_loop().run_until_complete(
+    asyncio.run(
         tool.run({"inPath": wav_dir, "outputDirectory": str(tmp_path),
                   "toolSettings": {"modelPath": ckpt_path}})
     )

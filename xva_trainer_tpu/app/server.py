@@ -242,6 +242,9 @@ class TrainingSession:
             output_path=data["output_path"],
             batch_size=int(data.get("batch_size", 32)),
             voice_name=os.path.basename(data["dataset_path"].rstrip("/")),
+            # UI sends "true"/"false" strings; default on (reference :551)
+            use_amp=str(data.get("use_amp", "true")).lower()
+            in ("1", "true", "yes", "on"),
         )
         await asyncio.to_thread(train_v2_pipeline, cfg)
 

@@ -362,9 +362,28 @@ class XvaBatcher:
                     self._index.append((c, it))
         self._active = list(self._index)
         self._lengths: Dict[str, tuple] = {}  # item_id -> (text_len, spec_len)
+        # per-bucket batches must stay divisible by the mesh's data axis
+        self.batch_divisor = 1
 
     def __len__(self):
         return max(1, len(self._active) // self.batch_size)
+
+    def batch_size_for(self, b: Bucket) -> int:
+        """Memory-constant per-bucket batch size.
+
+        Activation memory scales with batch×frames, so hold their product
+        constant across buckets: ``batch_size`` is the batch at the LARGEST
+        bucket (the memory bound) and shorter buckets scale up inversely with
+        mel length (same idea as the reference's file-length batch
+        multiplier, fastpitch1_1/xva_train.py:401-403). Measured on v5e
+        (bf16): 61.7k frames/s @ B=16/384f → 91.1k @ B=64/384f, so the short
+        buckets' bigger batches are pure throughput.
+        """
+        max_len = self.buckets[-1].mel_len  # sorted ascending in __init__
+        n = int(round(self.batch_size * max_len / b.mel_len))
+        d = max(1, self.batch_divisor)
+        n = max(d, (max(1, n) // d) * d)
+        return n
 
     def resample_by_loss(self, loss_by_item: Dict[str, float]):
         names = loss_sorted_resample(loss_by_item)
@@ -385,20 +404,9 @@ class XvaBatcher:
         self._emb_cache[p] = emb
         return emb
 
-    def epoch(self, shuffle: bool = True):
-        order = list(self._active)
-        if shuffle and self.weighted_by_language:
-            # inverse language-frequency sampling with replacement
-            # (reference util.py:403-410 WeightedRandomSampler semantics)
-            langs = [c.lang for c, _ in order]
-            w = language_weights(langs)
-            idx = self.rng.choice(len(order), size=len(order), replace=True,
-                                  p=w / w.sum())
-            order = [order[i] for i in idx]
-        elif shuffle:
-            self.rng.shuffle(order)
-        # assign to buckets, memoizing lengths so each npz is read only once
-        # across all epochs (bucketing itself is cheap integer work)
+    def _plan(self, order) -> Dict[Bucket, List]:
+        """Assign items to buckets, memoizing lengths so each npz is read only
+        once across all epochs (bucketing itself is cheap integer work)."""
         plans: Dict[Bucket, List] = {b: [] for b in self.buckets}
         for c, it in order:
             lens = self._lengths.get(it.item_id)
@@ -413,10 +421,38 @@ class XvaBatcher:
                 if tl <= b.text_len and sl <= b.mel_len:
                     plans[b].append((c, it))
                     break
+        return plans
+
+    def mean_batch_size(self) -> float:
+        """Average micro-batch size over one epoch plan — the right divisor
+        for gradient-accumulation gam now that batches are bucket-sized
+        (gam = ceil(target_bs / mean) keeps the effective batch ≈ target)."""
+        plans = self._plan(list(self._active))
+        items = sum(len(v) for v in plans.values())
+        batches = sum(
+            int(np.ceil(len(v) / self.batch_size_for(b)))
+            for b, v in plans.items() if v
+        )
+        return items / batches if batches else float(self.batch_size)
+
+    def epoch(self, shuffle: bool = True):
+        order = list(self._active)
+        if shuffle and self.weighted_by_language:
+            # inverse language-frequency sampling with replacement
+            # (reference util.py:403-410 WeightedRandomSampler semantics)
+            langs = [c.lang for c, _ in order]
+            w = language_weights(langs)
+            idx = self.rng.choice(len(order), size=len(order), replace=True,
+                                  p=w / w.sum())
+            order = [order[i] for i in idx]
+        elif shuffle:
+            self.rng.shuffle(order)
+        plans = self._plan(order)
         batches = []
         for b, items in plans.items():
-            for s in range(0, len(items), self.batch_size):
-                chunk = items[s : s + self.batch_size]
+            bs = self.batch_size_for(b)
+            for s in range(0, len(items), bs):
+                chunk = items[s : s + bs]
                 batches.append((b, chunk))
         if shuffle:
             self.rng.shuffle(batches)
@@ -424,7 +460,7 @@ class XvaBatcher:
             yield self.collate(b, chunk)
 
     def collate(self, b: Bucket, chunk) -> Dict[str, np.ndarray]:
-        n = self.batch_size
+        n = self.batch_size_for(b)
         # Partial tail chunks: repeat real items to fill the static batch.
         # All-zero dummy rows would inject silence gradients into the mel L1,
         # adversarial and discriminator losses every epoch.

@@ -34,6 +34,12 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
       (B, t_x, t_y) float path matrix: path[b, x, y] = 1 on the best path.
     """
     B, t_x, t_y = value.shape
+    # The DP accumulates log-likelihoods over up to ~900 frames; under bf16
+    # mixed precision (train/amp.py) the inputs may arrive bf16, whose ~8-bit
+    # mantissa would corrupt the cumulative scores — always accumulate fp32.
+    out_dtype = value.dtype
+    value = value.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     value = jnp.where(mask > 0, value, _NEG_INF)
 
     x_lengths = jnp.maximum(mask[:, :, 0].sum(axis=1).astype(jnp.int32), 1)
@@ -80,4 +86,4 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     )
     # cols: (t_y, B, t_x) in reverse y order → (B, t_x, t_y)
     path = jnp.flip(cols, axis=0)
-    return jnp.moveaxis(path, 0, 2).astype(value.dtype) * mask
+    return (jnp.moveaxis(path, 0, 2) * mask).astype(out_dtype)

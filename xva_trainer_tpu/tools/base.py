@@ -74,7 +74,7 @@ class BaseTool:
         """Fan items over a thread pool with progress reporting."""
         max_workers = max_workers or max(1, (os.cpu_count() or 2) // 2)
         results = []
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             futures = [loop.run_in_executor(pool, worker, it) for it in items]
             for i, fut in enumerate(asyncio.as_completed(futures)):

@@ -34,6 +34,7 @@ from ..parallel.mesh import make_mesh, shard_batch
 from .checkpoints import CheckpointManager, export_fastpitch_v2
 from .early_stop import EarlyStopState, fastpitch_min_epochs, fastpitch_target_delta
 from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
+from . import amp
 from .optim import fastpitch_stage_mask, make_fastpitch_optimizer
 
 
@@ -55,6 +56,8 @@ class FastPitchTrainConfig:
     force_stage: int = 0  # 0 = auto
     seed: int = 0
     kl_warmup_epochs: float = 100.0
+    # bf16 compute / fp32 masters (train/amp.py); reference AMP default-on
+    use_amp: bool = True
 
     @property
     def grad_accum(self) -> int:
@@ -62,12 +65,19 @@ class FastPitchTrainConfig:
 
 
 def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformation,
-                    use_gt_durs: bool = False):
+                    use_gt_durs: bool = False, use_amp: bool = True):
     """Build the jitted train step for a stage. kl_weight is a traced scalar.
 
     use_gt_durs: stages ≥2 read pre-extracted durations from the batch instead
     of re-running the aligner+MAS each step (the reference pre-extracts durs
-    to npy dirs after stage 1 — fastpitch1_1/xva_train.py:1120-1168)."""
+    to npy dirs after stage 1 — fastpitch1_1/xva_train.py:1120-1168).
+
+    use_amp: bf16 compute / fp32 masters+losses (train/amp.py), the TPU
+    analogue of the reference's default-on torch.cuda.amp; losses (CTC,
+    binarization KL, staged MSEs) always accumulate fp32 on the cast-up
+    outputs, and MAS accumulates fp32 inside ops/mas.py."""
+    _apply = (functools.partial(amp.amp_apply, model.apply)
+              if use_amp else model.apply)
 
     def _alignment_free(out_batch):
         return dict(durs_gt=out_batch["durs"], run_aligner=False)
@@ -76,7 +86,7 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
         common = dict(deterministic=False)
         rngs = {"dropout": rng}
         if stage == 1:
-            out = model.apply(
+            out = _apply(
                 params, batch["tokens"], batch["in_lens"], batch["mel"],
                 batch["mel_lens"], batch["prior"], method=FastPitch.stage1,
                 rngs=rngs, **common,
@@ -84,19 +94,19 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
             return fp_loss.stage1_loss(out, batch["in_lens"], batch["mel_lens"], kl_weight)
         if stage == 2:
             if use_gt_durs and "durs" in batch:
-                out = model.apply(
+                out = _apply(
                     params, batch["tokens"], batch["in_lens"], batch["durs"],
                     method=FastPitch.stage2_from_durs, rngs=rngs, **common,
                 )
             else:
-                out = model.apply(
+                out = _apply(
                     params, batch["tokens"], batch["in_lens"], batch["mel"],
                     batch["mel_lens"], batch["prior"], method=FastPitch.stage2,
                     rngs=rngs, **common,
                 )
             return fp_loss.stage2_loss(out, batch["in_lens"])
         kw = _alignment_free(batch) if (use_gt_durs and "durs" in batch) else {}
-        out = model.apply(
+        out = _apply(
             params, batch["tokens"], batch["in_lens"], batch["mel"],
             batch["mel_lens"], batch["pitch"], batch["energy"], batch["prior"],
             method=FastPitch.full, rngs=rngs, **kw, **common,
@@ -186,7 +196,8 @@ class FastPitchTrainer:
         )
         use_gt = self.stage >= 2 and self.cache.has_durations()
         self._step_fn = make_stage_step(self.model, self.stage, self.tx,
-                                        use_gt_durs=use_gt)
+                                        use_gt_durs=use_gt,
+                                        use_amp=self.cfg.use_amp)
 
     def extract_durations(self, batcher: BucketBatcher) -> int:
         """After stage 1: run the aligner once over the dataset, caching

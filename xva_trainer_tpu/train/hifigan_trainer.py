@@ -41,6 +41,7 @@ from ..models.hifigan import (
 )
 from ..ops.stft import LOSS_MEL, MelConfig, mel_spectrogram_hifigan
 from ..parallel.mesh import make_mesh, shard_batch
+from . import amp
 from .checkpoints import CheckpointManager
 from .early_stop import (
     EarlyStopState,
@@ -73,6 +74,8 @@ class HifiganTrainConfig:
     adam_betas = (0.8, 0.99)
     seed: int = 0
     steps_per_epoch_hint: int = 200  # lr decay granularity
+    # bf16 compute / fp32 masters (train/amp.py); reference AMP default-on
+    use_amp: bool = True
 
 
 def make_gan_step(
@@ -81,8 +84,21 @@ def make_gan_step(
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
     mel_cfg: MelConfig,
+    use_amp: bool = True,
 ):
+    """G step against the current D, then D step on the stop-gradient-cached
+    fakes — the generator runs exactly ONCE per step (the reference's
+    y_disc_cache trick, xvapitch/xva_train.py:648-667; a D-first ordering
+    would cost a second full generator forward under jax.grad).
+
+    use_amp: bf16 compute / fp32 masters (train/amp.py); both loss mels are
+    computed on fp32-cast waveforms (FFTs stay fp32).
+    """
     loss_mel_cfg = LOSS_MEL  # full band (fmax None)
+    _g_apply = (functools.partial(amp.amp_apply, gen.apply)
+                if use_amp else gen.apply)
+    _d_apply = (functools.partial(amp.amp_apply, disc.apply)
+                if use_amp else disc.apply)
 
     def mel_of(wav):  # (B, T, 1) → (B, 80, T/256)
         return mel_spectrogram_hifigan(wav[..., 0], loss_mel_cfg)
@@ -93,12 +109,31 @@ def make_gan_step(
         mel_in = mel_spectrogram_hifigan(wav_real[..., 0], mel_cfg)  # (B,80,32)
         mel_in_t = jnp.swapaxes(mel_in, 1, 2)  # channels-last
 
-        y_hat = gen.apply(state.g_params, mel_in_t)  # (B, SEGMENT, 1)
-        y_hat_sg = jax.lax.stop_gradient(y_hat)
+        # ---- G step (one generator forward; fakes cached for the D pass) ----
+        def g_loss_fn(g_params):
+            y_g = _g_apply(g_params, mel_in_t)  # (B, SEGMENT, 1)
+            mel_l1 = jnp.mean(jnp.abs(mel_of(y_g) - mel_of(wav_real)))
+            (outs_r, outs_g, fmaps_r, fmaps_g), _ = _d_apply(
+                {"params": state.d_params["params"], "batch_stats": state.d_stats},
+                wav_real, y_g, update_sn_stats=False, mutable=["batch_stats"],
+            )
+            adv = generator_adv_loss(outs_g)
+            fm = feature_matching_loss(fmaps_r, fmaps_g)
+            total = MEL_WEIGHT * mel_l1 + adv + fm
+            meta = {"mel_l1": mel_l1, "adv": adv, "fm": fm,
+                    "y_hat": jax.lax.stop_gradient(y_g)}
+            return total, meta
 
-        # ---- D step ----
+        (g_loss, meta), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+        y_hat_sg = meta.pop("y_hat")
+
+        # ---- D step (on the cached fakes) ----
         def d_loss_fn(d_params):
-            (outs_r, outs_g, _, _), new_stats = disc.apply(
+            (outs_r, outs_g, _, _), new_stats = _d_apply(
                 {"params": d_params["params"], "batch_stats": state.d_stats},
                 wav_real, y_hat_sg, update_sn_stats=True, mutable=["batch_stats"],
             )
@@ -109,25 +144,6 @@ def make_gan_step(
         )
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         new_d_params = optax.apply_updates(state.d_params, d_updates)
-
-        # ---- G step (against the updated discriminator) ----
-        def g_loss_fn(g_params):
-            y_g = gen.apply(g_params, mel_in_t)
-            mel_l1 = jnp.mean(jnp.abs(mel_of(y_g) - mel_of(wav_real)))
-            (outs_r, outs_g, fmaps_r, fmaps_g), _ = disc.apply(
-                {"params": new_d_params["params"], "batch_stats": new_stats},
-                wav_real, y_g, update_sn_stats=False, mutable=["batch_stats"],
-            )
-            adv = generator_adv_loss(outs_g)
-            fm = feature_matching_loss(fmaps_r, fmaps_g)
-            total = MEL_WEIGHT * mel_l1 + adv + fm
-            return total, {"mel_l1": mel_l1, "adv": adv, "fm": fm}
-
-        (g_loss, meta), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
-        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        new_g_params = optax.apply_updates(state.g_params, g_updates)
 
         new_state = GanState(
             g_params=new_g_params,
@@ -214,7 +230,8 @@ class HifiganTrainer:
         self.d_tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.0
         )
-        self._step_fn = make_gan_step(self.gen, self.disc, self.g_tx, self.d_tx, mel_cfg)
+        self._step_fn = make_gan_step(self.gen, self.disc, self.g_tx, self.d_tx,
+                                      mel_cfg, use_amp=cfg.use_amp)
         self.early = EarlyStopState(
             target_delta=HIFIGAN_TARGET_DELTA,
             span=HIFIGAN_SPAN,

@@ -33,6 +33,8 @@ class PipelineConfig:
     max_fp_epochs: int = 10**6
     max_hifi_epochs: int = 10**6
     voice_name: str = "voice"
+    # bf16 compute / fp32 masters (train/amp.py); reference AMP default-on
+    use_amp: bool = True
 
 
 STAGE_BS_MULT = {1: 1.5, 2: 12.0, 3: 3.5, 4: 4.0}
@@ -88,6 +90,7 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
         output_dir=cfg.output_path,
         batch_size=cfg.batch_size,
         target_bs=cfg.target_bs,
+        use_amp=cfg.use_amp,
     )
     fp = FastPitchTrainer(cache, fp_cfg, model_cfg, mesh=mesh, logger=logger)
 
@@ -116,6 +119,7 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
     hifi_cfg = HifiganTrainConfig(
         output_dir=os.path.join(cfg.output_path, "hifi"),
         batch_size=min(16, cfg.batch_size),
+        use_amp=cfg.use_amp,
     )
     hifi = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh, logger=logger)
     hifi.setup()

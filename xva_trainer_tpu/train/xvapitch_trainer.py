@@ -35,6 +35,7 @@ from ..data.xva_dataset import XvaBatcher
 from ..models.xvapitch import VitsDiscriminator, XVAPitch, XVAPitchConfig
 from ..models.xvapitch import losses as v_losses
 from ..parallel.mesh import make_mesh, shard_batch
+from . import amp
 from .checkpoints import CheckpointManager, export_xvapitch_v3
 from .early_stop import EarlyStopState
 from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
@@ -51,7 +52,9 @@ class V3State(struct.PyTreeNode):
 @dataclasses.dataclass
 class XvaTrainConfig:
     output_dir: str = "out_v3"
-    batch_size: int = 16
+    # 32/chip: +15% frames/s over 16 on v5e under bf16 (the reference dev
+    # notes ran 30/GPU — training_util.py:48-56); gam keeps effective 400
+    batch_size: int = 32
     target_bs: int = 400     # reference :1142
     gen_lr: float = 1.75e-4
     disc_lr: float = 2e-4
@@ -65,6 +68,9 @@ class XvaTrainConfig:
     # train only posterior encoder + waveform decoder (reference --hifi_only,
     # xva_train.py:649-679)
     hifi_only: bool = False
+    # bf16 compute / fp32 masters (train/amp.py) — reference defaults AMP on
+    # (xva_train.py:551); on TPU this is GradScaler-free bf16
+    use_amp: bool = True
 
     @property
     def gam(self) -> int:
@@ -133,9 +139,24 @@ def make_v3_step(
     d_tx: optax.GradientTransformation,
     freeze_post_dec: bool,
     hifi_only: bool = False,
+    use_amp: bool = True,
 ):
     """One jitted micro-step: G loss+grads, D loss+grads on stopped fakes,
-    both optimizer updates (MultiSteps handles gam accumulation)."""
+    both optimizer updates (MultiSteps handles gam accumulation).
+
+    use_amp: bf16 compute with fp32 master params/losses (train/amp.py) —
+    the TPU analogue of the reference's default-on torch.cuda.amp
+    (xva_train.py:551). The SDP stays fp32 (spline-flow logdets), MAS
+    accumulates fp32 inside ops/mas.py, and all losses are fp32.
+    """
+    _g_apply = (
+        functools.partial(amp.amp_apply, model.apply,
+                          exclude=("duration_predictor",))
+        if use_amp else model.apply
+    )
+    _d_apply = (
+        functools.partial(amp.amp_apply, disc.apply) if use_amp else disc.apply
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: V3State, batch, rng):
@@ -147,19 +168,19 @@ def make_v3_step(
 
         def g_loss_fn(g_params):
             if hifi_only:
-                out = model.apply(
+                out = _g_apply(
                     g_params, batch["linear"], batch["slens"], batch["wav"],
                     batch["dvec"],
                     method=XVAPitch.train_hifi_only, rngs=rngs,
                 )
             else:
-                out = model.apply(
+                out = _g_apply(
                     g_params, batch["tokens"], batch["tlens"], batch["linear"],
                     batch["slens"], batch["pitch"], batch["energy"],
                     batch["wav"], batch["dvec"], batch["lang"],
                     method=XVAPitch.train_step, rngs=rngs,
                 )
-            s_fake, f_fake, s_real, f_real = disc.apply(
+            s_fake, f_fake, s_real, f_real = _d_apply(
                 state.d_params, out["model_outputs"], out["waveform_seg"]
             )
             loss, meta = v_losses.generator_loss(
@@ -192,7 +213,7 @@ def make_v3_step(
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
         def d_loss_fn(d_params):
-            s_fake, _, s_real, _ = disc.apply(d_params, aux["fake"], aux["real"])
+            s_fake, _, s_real, _ = _d_apply(d_params, aux["fake"], aux["real"])
             loss, _ = v_losses.discriminator_loss(s_real, s_fake)
             return loss
 
@@ -280,6 +301,11 @@ class XVAPitchTrainer:
         self.model = XVAPitch(model_cfg)
         self.disc = VitsDiscriminator()
         self.mesh = mesh or make_mesh()
+        # per-bucket batches must divide evenly over the DP axis
+        n_data = int(self.mesh.shape.get("data", 1))
+        for b_ in (batcher, priors_batcher):
+            if b_ is not None:
+                b_.batch_divisor = n_data
         self.logger = logger or TrainingLogger(cfg.output_dir)
         num_lines = len(batcher._index)
         self.target_deltas = xva_target_deltas(max(num_lines, 1))
@@ -298,21 +324,31 @@ class XVAPitchTrainer:
         def sched(lr):
             return lambda step: lr * cfg.lr_gamma**step
 
+        # micro-batches are bucket-sized (XvaBatcher.batch_size_for), so gam
+        # divides the target by the epoch plan's MEAN micro-batch — effective
+        # batch stays ≈ target_bs (reference gam semantics, :1142)
+        try:
+            mean_bs = batcher.mean_batch_size()
+        except Exception:
+            mean_bs = float(cfg.batch_size)
+        self.gam = max(1, int(math.ceil(cfg.target_bs / max(mean_bs, 1.0))))
         self.g_tx = optax.MultiSteps(
             optax.adamw(sched(cfg.gen_lr), b1=0.8, b2=0.99,
                         weight_decay=cfg.weight_decay),
-            every_k_schedule=cfg.gam,
+            every_k_schedule=self.gam,
         )
         self.d_tx = optax.MultiSteps(
             optax.adamw(sched(cfg.disc_lr), b1=0.8, b2=0.99,
                         weight_decay=cfg.weight_decay),
-            every_k_schedule=cfg.gam,
+            every_k_schedule=self.gam,
         )
         self._steps = {
             False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
-                                False, hifi_only=cfg.hifi_only),
+                                False, hifi_only=cfg.hifi_only,
+                                use_amp=cfg.use_amp),
             True: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
-                               True, hifi_only=cfg.hifi_only),
+                               True, hifi_only=cfg.hifi_only,
+                               use_amp=cfg.use_amp),
         }
         self.stage = 1
         self.training_iters = 0       # optimizer steps
@@ -436,7 +472,7 @@ class XVAPitchTrainer:
                         per = per + meta["per_sample_pitch"]
                     pending_losses.append((batch["ids"], per))
 
-                if self.micro_steps % self.cfg.gam == 0:
+                if self.micro_steps % self.gam == 0:
                     for ids, per_dev in pending_losses:
                         per_host = np.asarray(jax.device_get(per_dev))
                         for name, v in zip(ids, per_host[: len(ids)]):
