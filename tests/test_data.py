@@ -132,6 +132,26 @@ def test_feature_cache_and_batcher(tmp_path):
     assert np.all(rows > 0)
 
 
+def test_corrupt_wav_self_healing(tmp_path):
+    """Unreadable wavs are dropped from the dataset during cache build and
+    recorded, instead of crashing (reference deletes them on load,
+    xvapitch/dataset.py:335-338)."""
+    import os
+
+    ds = _make_dataset(tmp_path)
+    bad = os.path.join(ds, "wavs", "item2.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFgarbage-not-a-wav")
+    tp = TextProcessor()
+    cache = FeatureCache(ds, tp.encode, use_pallas=False)
+    assert len(cache.items) == 6
+    cache.build()
+    assert len(cache.items) == 5
+    assert all(it.item_id != "item2" for it in cache.items)
+    healed = open(os.path.join(ds, ".tpu_cache", "corrupt_wavs.txt")).read()
+    assert "item2.wav" in healed
+
+
 def test_english_cleaners_v2():
     from xva_trainer_tpu.data.text.cleaners_v2 import english_cleaners_v2
     from xva_trainer_tpu.data.text.processor import TextProcessor

@@ -27,6 +27,26 @@ def test_infer_shape(model_params):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+def test_denoiser_removes_bias(model_params):
+    """The denoiser subtracts the sigma=0 bias spectrum: denoising the bias
+    audio itself at strength=1 must shrink its energy, and strength=0 must be
+    a near-identity (reference waveglow/denoiser.py:56-61)."""
+    from xva_trainer_tpu.models.waveglow.model import WaveGlowDenoiser
+
+    model, params = model_params
+    den = WaveGlowDenoiser(model.apply, params, frames=8)
+    bias_audio = model.apply(
+        params, jnp.zeros((1, 8, 80)), 0.0, rngs={"noise": jax.random.PRNGKey(0)}
+    )[0]
+    out_full = np.asarray(den(bias_audio, strength=1.0))
+    out_zero = np.asarray(den(bias_audio, strength=0.0))
+    e = float(np.sum(bias_audio**2))
+    assert float(np.sum(out_full**2)) < 0.9 * e or e < 1e-10
+    # strength 0 round-trips through STFT/iSTFT
+    n = min(len(out_zero), bias_audio.shape[-1]) - 512
+    assert np.allclose(out_zero[256:n], np.asarray(bias_audio)[256:n], atol=1e-3)
+
+
 def test_forward_inverse_consistency(model_params):
     """infer(z) then forward(audio) should reproduce a Gaussian-scale z."""
     model, params = model_params

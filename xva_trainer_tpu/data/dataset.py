@@ -126,7 +126,14 @@ class FeatureCache:
 
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         for i, item in enumerate(todo):
-            y, sr = load_wav(item.wav_path, target_sr=self.mel_cfg.sample_rate)
+            try:
+                y, sr = load_wav(item.wav_path, target_sr=self.mel_cfg.sample_rate)
+            except Exception:
+                # corrupt-wav self-healing: drop the item and keep building
+                # (reference deletes unreadable wavs on load,
+                # xvapitch/dataset.py:335-338)
+                self._heal_corrupt(item)
+                continue
             # frame-align the waveform (static hop multiple)
             hop = self.mel_cfg.hop_length
             y = y[: len(y) // hop * hop]
@@ -159,6 +166,18 @@ class FeatureCache:
             return None
         with np.load(p) as z:
             return {k: z[k] for k in z.files}
+
+    def _heal_corrupt(self, item: Utterance) -> None:
+        """Remove an unreadable item from the dataset and record it in
+        ``corrupt_wavs.txt`` (the reference deletes the wav outright —
+        xvapitch/dataset.py:335-338; we keep the file but exclude it)."""
+        self.items = [it for it in self.items if it.item_id != item.item_id]
+        try:
+            with open(os.path.join(self.cache_dir, "corrupt_wavs.txt"), "a",
+                      encoding="utf8") as f:
+                f.write(item.wav_path + "\n")
+        except OSError:
+            pass
 
     def pitch_stats(self) -> Dict[str, float]:
         """Dataset-level voiced-pitch mean/std (reference

@@ -86,7 +86,21 @@ class XvaFeatureCache:
             post = os.path.join(self.dataset_path, "wavs_postprocessed",
                                 os.path.basename(item.wav_path))
             src = post if os.path.exists(post) else item.wav_path
-            y, sr = load_wav(src, target_sr=self.mel_cfg.sample_rate)
+            try:
+                y, sr = load_wav(src, target_sr=self.mel_cfg.sample_rate)
+            except Exception:
+                # corrupt-wav self-healing: drop the item and keep building
+                # (reference deletes unreadable wavs on load,
+                # xvapitch/dataset.py:335-338)
+                self.items = [it for it in self.items
+                              if it.item_id != item.item_id]
+                try:
+                    with open(os.path.join(self.cache_dir, "corrupt_wavs.txt"),
+                              "a", encoding="utf8") as f:
+                        f.write(item.wav_path + "\n")
+                except OSError:
+                    pass
+                continue
             hop = self.mel_cfg.hop_length
             y = y[: len(y) // hop * hop]
             if len(y) < hop * 40:  # skip sub-0.5s clips

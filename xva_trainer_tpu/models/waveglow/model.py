@@ -171,3 +171,37 @@ class WaveGlow(nn.Module):
 
     def __call__(self, mel, sigma: float = 1.0):
         return self.infer(mel, sigma)
+
+
+class WaveGlowDenoiser:
+    """Removes WaveGlow's model bias from synthesized audio (reference
+    fastpitch1_1/waveglow/denoiser.py:32-61): run the vocoder on a zero mel at
+    sigma=0, keep the |STFT| of that bias audio, then spectral-subtract
+    ``strength * bias`` from any synthesized clip (phase preserved).
+    """
+
+    def __init__(self, apply_fn, params, n_mel: int = 80, frames: int = 88):
+        import jax
+
+        mel = jnp.zeros((1, frames, n_mel))
+        bias = apply_fn(params, mel, 0.0, rngs={"noise": jax.random.PRNGKey(0)})
+        spec = self._stft(jnp.asarray(bias[0]))
+        # first analysis frame of the bias spectrum, as a (n_freqs, 1) column
+        self.bias_spec = jnp.abs(spec[:, :1])
+
+    @staticmethod
+    def _stft(y):
+        from ...ops.griffin_lim import _stft_complex
+        from ...ops.stft import DEFAULT_MEL
+
+        return _stft_complex(y, DEFAULT_MEL)
+
+    def __call__(self, audio: jnp.ndarray, strength: float = 0.1) -> jnp.ndarray:
+        from ...ops.griffin_lim import istft
+        from ...ops.stft import DEFAULT_MEL
+
+        spec = self._stft(audio)
+        mag = jnp.maximum(jnp.abs(spec) - self.bias_spec * strength, 0.0)
+        phase = spec / jnp.maximum(jnp.abs(spec), 1e-8)
+        out = istft(mag * phase, DEFAULT_MEL)
+        return out[: audio.shape[-1]]
