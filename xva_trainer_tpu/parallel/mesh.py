@@ -4,9 +4,9 @@ The reference's only parallelism is single-host nn.DataParallel + grad accum
 (SURVEY.md §2.6). Here parallelism is SPMD over a jax mesh:
 
 - axis "data": batch sharding (DP) — gradients all-reduce over ICI via pjit.
-- axis "model": reserved for tensor sharding of the 1536-wide FFN / HiFi-GAN
-  channels (models are ≤100M params, so DP suffices for parity; the axis
-  exists so TP can be added without redesign — SURVEY.md §2.6 row TP/PP/SP).
+- axis "model": tensor sharding. parallel/tp.py implements the Megatron
+  column/row split of the 1536-wide FFN stacks over this axis (opt-in;
+  models are ≤100M params, so DP alone suffices for parity — SURVEY.md §2.6).
 
 Batches are sharded (data, None, ...); params replicated. Multi-host would
 extend the mesh over jax.distributed processes; no other comm layer exists.
