@@ -12,11 +12,11 @@ with one blocking readback at the end; best of 3 repetitions (the 1-CPU
 host + tunnel scheduler add large run-to-run noise).
 Reference dev-note baseline: xVAPitch ~17-18k frames/s on 2 GPUs
 (training_util.py:48-56) → ~8.5-9k frames/s/GPU.
-Measured v5e single chip (2026-08-16, bf16 mixed precision — train/amp.py):
-xVAPitch 71.1k frames/s @ B=32 (8.1x the reference per-GPU note; 61.7k @
-B=16), FastPitch stage-4 30.2 steps/s (381k frames/s), HiFi-GAN 11.0 G+D
-steps/s @ B=16 (was 8.5 fp32 with the old two-forward step), fused mel
-kernel 8.7M frames/s.
+Measured v5e single chip (2026-08-17, bf16 mixed precision — train/amp.py):
+xVAPitch 91.9k frames/s @ B=64/384f (10.5x the reference per-GPU note;
+71.1k @ B=32, 61.7k @ B=16), FastPitch stage-4 29.3 steps/s (370k frames/s),
+HiFi-GAN 11.0 G+D steps/s @ B=16 (was 8.5 fp32 with the old two-forward
+step), fused mel kernel 8.7M frames/s.
 """
 import json
 import time
