@@ -63,3 +63,30 @@ def test_discriminator_and_losses():
     fl = float(feature_matching_loss(fmaps_r, fmaps_g))
     assert np.isfinite(dl) and np.isfinite(gl) and np.isfinite(fl)
     assert dl > 0 and gl > 0 and fl > 0
+
+
+def test_segment_sampler_data_multiplier(tmp_path):
+    """An epoch is ~1000 items regardless of dataset size (reference
+    get_dataset_filelist dm, meldataset.py:296-302)."""
+    import os
+
+    from xva_trainer_tpu.data.audio_io import save_wav
+    from xva_trainer_tpu.train.hifigan_trainer import SEGMENT_SIZE, SegmentSampler
+
+    ds = tmp_path / "ds"
+    (ds / "wavs").mkdir(parents=True)
+    lines = []
+    for i in range(4):
+        y = np.zeros(SEGMENT_SIZE + 100, np.float32)
+        save_wav(str(ds / "wavs" / f"w{i}.wav"), y)
+        lines.append(f"w{i}.wav|text {i}")
+    (ds / "metadata.csv").write_text("\n".join(lines))
+
+    s = SegmentSampler(str(ds), batch_size=16, seed=0)
+    assert s.data_mult == 250  # round(1000/4)
+    assert len(s) == (4 * 250) // 16
+    n = sum(1 for _ in s.epoch())
+    assert n == len(s)
+    # explicit override wins
+    s1 = SegmentSampler(str(ds), batch_size=2, seed=0, data_mult=1)
+    assert s1.data_mult == 1 and len(s1) == 2

@@ -169,7 +169,7 @@ class SegmentSampler:
     """
 
     def __init__(self, dataset_path: str, batch_size: int, seed: int = 0,
-                 sample_rate: int = 22050):
+                 sample_rate: int = 22050, data_mult: Optional[int] = None):
         self.items = read_metadata(dataset_path)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -179,12 +179,20 @@ class SegmentSampler:
             if len(y) < SEGMENT_SIZE:
                 y = np.pad(y, (0, SEGMENT_SIZE - len(y)))
             self.wavs.append(y.astype(np.float32))
+        # data multiplier: an "epoch" is ~1000 items regardless of dataset
+        # size (reference get_dataset_filelist, meldataset.py:296-302) — the
+        # per-epoch lr decay and early-stop patience depend on this scale
+        if data_mult is None:
+            data_mult = max(1, round(1000 / max(1, len(self.wavs))))
+        self.data_mult = int(data_mult)
 
     def __len__(self):
-        return max(1, len(self.wavs) // self.batch_size)
+        return max(1, (len(self.wavs) * self.data_mult) // self.batch_size)
 
     def epoch(self):
-        order = self.rng.permutation(len(self.wavs))
+        order = np.concatenate(
+            [self.rng.permutation(len(self.wavs)) for _ in range(self.data_mult)]
+        )
         for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
             idx = order[s : s + self.batch_size]
             seg = np.zeros((self.batch_size, SEGMENT_SIZE, 1), np.float32)
@@ -241,6 +249,7 @@ class HifiganTrainer:
         self.ckpt = CheckpointManager(cfg.output_dir, prefix="HiFiGAN")
         self.meter = ThroughputMeter()
         self.epoch = 0
+        self._max_iters: Optional[int] = None
         self.total_iter = 0
         self.stop_requested = False
         self.paused = False   # warm pause: jitted step + state stay resident
@@ -315,6 +324,8 @@ class HifiganTrainer:
                     time.sleep(0.2)
                 if self.stop_requested:
                     break
+                if self._max_iters and self.total_iter >= self._max_iters:
+                    break
                 dev = shard_batch(self.mesh, {"wav": seg})["wav"]
                 self.state, meta = self._step_fn(self.state, dev)
                 self.total_iter += 1
@@ -366,6 +377,7 @@ class HifiganTrainer:
     def train(self, max_epochs: int = 10**6, max_iters: Optional[int] = None) -> Dict:
         if not hasattr(self, "state"):
             self.setup()
+        self._max_iters = max_iters
         start = time.perf_counter()
         for _ in range(max_epochs):
             losses = self.run_epoch()
