@@ -46,6 +46,18 @@ def test_run_task_protocol(tmp_path):
     assert os.path.exists(tmp_path / "out" / "a.wav")
 
 
+def test_debug_backdoors():
+    """ws debug messages keyed on `model` (reference server.py:146-163)."""
+    server = AppServer(logger=_quiet_logger())
+    assert run(server.handle_message(
+        json.dumps({"model": "print", "task": "", "data": "hello"}), FakeWS()
+    )) == ""
+    assert run(server.handle_message(
+        json.dumps({"model": "print_and_return", "task": "", "data": "echo"}),
+        FakeWS(),
+    )) == "echo"
+
+
 def test_error_event_on_bad_tool_input(tmp_path):
     server = AppServer(logger=_quiet_logger())
     ws = FakeWS()

@@ -289,6 +289,22 @@ class AppServer:
         model = (msg.get("model") or "").lower()
         task = msg.get("task") or ""
         data = msg.get("data") or {}
+
+        # debug backdoors keyed on `model`, raw data (reference server.py:146-163)
+        if model == "exit":
+            raise SystemExit
+        if model == "print":
+            self.logger.info(str(data))
+            return ""
+        if model == "print_and_return":
+            self.logger.info(str(data))
+            return data if isinstance(data, str) else json.dumps(data)
+        if model == "gettimeddata":
+            for i in ("1", "2", "3"):
+                await websocket.send(i)
+                await asyncio.sleep(1)
+            return None
+
         if isinstance(data, str):
             data = json.loads(data) if data else {}
 
@@ -320,7 +336,7 @@ class AppServer:
         async for raw in websocket:
             try:
                 reply = await self.handle_message(raw, websocket)
-                if reply:
+                if reply is not None:
                     await websocket.send(reply)
             except SystemExit:
                 raise
