@@ -284,6 +284,9 @@ class FastPitchTrainer:
 
     def run_epoch(self, batcher: BucketBatcher, rng: jax.Array):
         epoch_losses = []
+        pending = None  # previous step's device loss — read one step late so
+        # the host collates batch k+1 while the device still runs batch k
+        # (a same-step float() would serialize collate with compute)
         with self.mesh:
             self.meter.start()
             for batch in batcher.epoch():
@@ -298,14 +301,19 @@ class FastPitchTrainer:
                     self.state, dev_batch, jnp.asarray(self.kl_weight()), sub
                 )
                 self.total_iter += 1
-                loss = float(meta["loss"])
-                epoch_losses.append(loss)
+                if pending is not None:
+                    loss = float(pending)
+                    epoch_losses.append(loss)
+                    fps = self.meter.step()
+                    self.logger.set_status(
+                        f"Stage: {self.stage} | Epoch: {self.epoch} | "
+                        f"Iter: {self.total_iter - 1} | Loss: {loss:.5f} | "
+                        f"frames/s: {int(fps)}"
+                    )
+                pending = meta["loss"]
                 self.meter.add_frames(frames)
-                fps = self.meter.step()
-                self.logger.set_status(
-                    f"Stage: {self.stage} | Epoch: {self.epoch} | "
-                    f"Iter: {self.total_iter} | Loss: {loss:.5f} | frames/s: {int(fps)}"
-                )
+            if pending is not None:
+                epoch_losses.append(float(pending))
         return epoch_losses, rng
 
     def finish_epoch(self, epoch_losses) -> bool:

@@ -317,6 +317,8 @@ class HifiganTrainer:
 
     def run_epoch(self):
         losses = []
+        pending = None  # previous step's device loss — read one step late so
+        # the host prepares segment k+1 while the device runs step k
         with self.mesh:
             self.meter.start()
             for seg in self.sampler.epoch():
@@ -329,14 +331,19 @@ class HifiganTrainer:
                 dev = shard_batch(self.mesh, {"wav": seg})["wav"]
                 self.state, meta = self._step_fn(self.state, dev)
                 self.total_iter += 1
-                mel_l1 = float(meta["mel_l1"])
-                losses.append(mel_l1)
+                if pending is not None:
+                    mel_l1 = float(pending)
+                    losses.append(mel_l1)
+                    fps = self.meter.step()
+                    self.logger.set_status(
+                        f"Stage: 5 | Epoch: {self.epoch} | "
+                        f"Iter: {self.total_iter - 1} | mel L1: {mel_l1:.5f} | "
+                        f"its/s: {fps / (seg.shape[0] * 32):.2f}"
+                    )
+                pending = meta["mel_l1"]
                 self.meter.add_frames(seg.shape[0] * (SEGMENT_SIZE // 256))
-                fps = self.meter.step()
-                self.logger.set_status(
-                    f"Stage: 5 | Epoch: {self.epoch} | Iter: {self.total_iter} | "
-                    f"mel L1: {mel_l1:.5f} | its/s: {fps / (seg.shape[0] * 32):.2f}"
-                )
+            if pending is not None:
+                losses.append(float(pending))
         return losses
 
     def _set_lr(self, lr: float):
