@@ -243,7 +243,115 @@ def bench_xvapitch(B=64, T_TEXT=96, T_SPEC=384, iters=10):
     return out
 
 
+def bench_tts_infer(B=1, pad_to=256, iters=20):
+    """Serving path: text → FastPitch mel → HiFi-GAN wav, reported as RTF
+    (seconds of audio synthesized per wall-clock second; >1 = faster than
+    real time). The reference /exportWav flow has no published latency."""
+    import jax
+
+    from xva_trainer_tpu.models.fastpitch import FastPitch, FastPitchConfig
+    from xva_trainer_tpu.models.hifigan import Generator, HifiganConfig
+    from xva_trainer_tpu.train.pipeline import V2InferenceModel
+
+    model_cfg, gen_cfg = FastPitchConfig(), HifiganConfig()
+    model, gen = FastPitch(model_cfg), Generator(gen_cfg)
+    import jax.numpy as jnp
+
+    tokens = jnp.zeros((1, pad_to), jnp.int32)
+    fp_params = model.init(jax.random.PRNGKey(0), tokens,
+                           method=FastPitch.infer, mel_max_len=1024)
+    gen_params = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 80)))
+    m = V2InferenceModel(fp_params, gen_params, model_cfg, gen_cfg)
+    text = "This is what my voice sounds like when trained on this dataset."
+    wav = m.tts(text)  # compile + warm
+    # the graph is static-shaped: it always synthesizes mel_max_len frames
+    # regardless of the duration predictor's output, so that is the honest
+    # audio-seconds-per-step for RTF (random-init params predict ~0 frames)
+    sec_out = m.mel_max_len * 256 / 22050.0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            wav = m.tts(text)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {
+        "tts_latency_ms": best * 1e3,
+        "tts_rtf_static": sec_out / best,
+    }
+
+
+def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2):
+    """Trainer-LOOP throughput (host collate + H2D + device step, the number
+    a user actually sees) on a synthetic dataset — complements the
+    device-only step benches above."""
+    import tempfile
+
+    import jax
+
+    from xva_trainer_tpu.data.audio_io import save_wav
+    from xva_trainer_tpu.data.dataset import BucketBatcher, FeatureCache
+    from xva_trainer_tpu.data.text.processor import TextProcessor
+    from xva_trainer_tpu.models.fastpitch import FastPitchConfig
+    from xva_trainer_tpu.train.fastpitch_trainer import (
+        FastPitchTrainConfig,
+        FastPitchTrainer,
+    )
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as root:
+        import os
+
+        ds = os.path.join(root, "ds")
+        os.makedirs(os.path.join(ds, "wavs"))
+        lines = []
+        for i in range(n_clips):
+            dur = rng.uniform(2.0, 6.0)
+            t = np.arange(int(22050 * dur)) / 22050
+            y = (0.3 * np.sin(2 * np.pi * (140 + 3 * i) * t)).astype(np.float32)
+            save_wav(os.path.join(ds, "wavs", f"c{i}.wav"), y)
+            lines.append(f"c{i}.wav|the quick brown fox jumps over the lazy dog number {i}")
+        with open(os.path.join(ds, "metadata.csv"), "w") as f:
+            f.write("\n".join(lines))
+        cache = FeatureCache(ds, TextProcessor().encode)
+        cache.build()
+        cfg = FastPitchTrainConfig(output_dir=os.path.join(root, "out"),
+                                   batch_size=batch_size, force_stage=4)
+        tr = FastPitchTrainer(cache, cfg, FastPitchConfig())
+        batcher = BucketBatcher(cache, batch_size=batch_size)
+        tr.setup(batcher)
+        rng_j = jax.random.PRNGKey(0)
+        # warm EVERY bucket shape first (each distinct mel length is its own
+        # compiled program; a shuffled warm epoch can miss shapes and leak
+        # ~70s tunnel compiles into the timed epochs)
+        import jax.numpy as jnp
+
+        from xva_trainer_tpu.parallel.mesh import shard_batch
+
+        seen = set()
+        for batch in batcher.epoch(shuffle=False):
+            sh = batch["mel"].shape
+            if sh in seen:
+                continue
+            seen.add(sh)
+            dev = shard_batch(tr.mesh, batch)
+            rng_j, sub = jax.random.split(rng_j)
+            with tr.mesh:
+                tr.state, meta = tr._step_fn(tr.state, dev,
+                                             jnp.asarray(0.0), sub)
+            float(meta["loss"])
+        frames_per_epoch = sum(
+            int(np.sum(b["mel_lens"])) for b in batcher.epoch()
+        )
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            losses, rng_j = tr.run_epoch(batcher, rng_j)
+        dt = time.perf_counter() - t0
+    return {"fastpitch_loop_frames_per_sec": frames_per_epoch * epochs / dt}
+
+
 def bench_train_steps(include_xvapitch: bool = True):
+    import os
+
     fp = bench_fastpitch()
     hg = bench_hifigan()
     out = {}
@@ -251,6 +359,10 @@ def bench_train_steps(include_xvapitch: bool = True):
     out.update(hg)
     if include_xvapitch:
         out.update(bench_xvapitch())
+    if os.environ.get("XVA_BENCH_INFER") == "1":
+        out.update(bench_tts_infer())
+    if os.environ.get("XVA_BENCH_LOOP") == "1":
+        out.update(bench_v2_trainer_loop())
     return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()}
 
 

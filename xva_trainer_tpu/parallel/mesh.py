@@ -47,6 +47,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def commit_replicated(tree, mesh: Mesh):
+    """device_put a pytree (train state) replicated over the mesh.
+
+    Un-committed arrays (fresh init on the default device) give jit a
+    different cache key than the committed arrays every later step produces —
+    the first step would compile a second variant of its bucket shape
+    (~minutes over a remote-compile tunnel). Committing up front means one
+    compile per batch shape, ever.
+    """
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place each (B, ...) array with batch dim sharded over "data"."""
     out = {}

@@ -30,7 +30,7 @@ from flax import struct
 
 from ..data.dataset import BucketBatcher, FeatureCache
 from ..models.fastpitch import FastPitch, FastPitchConfig, loss as fp_loss
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import commit_replicated, make_mesh, shard_batch
 from .checkpoints import CheckpointManager, export_fastpitch_v2
 from .early_stop import EarlyStopState, fastpitch_min_epochs, fastpitch_target_delta
 from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
@@ -271,8 +271,9 @@ class FastPitchTrainer:
                     except Exception:
                         state = state.replace(opt_state=self.tx.init(state.params))
                 self.logger.log(f"[resume] stage {self.stage} iter {self.total_iter}")
-        self.state = state
-        return state
+        # commit replicated over the mesh: one jit cache entry per batch shape
+        self.state = commit_replicated(state, self.mesh)
+        return self.state
 
     # ---- training ----
 

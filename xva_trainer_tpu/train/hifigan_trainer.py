@@ -40,7 +40,7 @@ from ..models.hifigan import (
     generator_adv_loss,
 )
 from ..ops.stft import LOSS_MEL, MelConfig, mel_spectrogram_hifigan
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import commit_replicated, make_mesh, shard_batch
 from . import amp
 from .checkpoints import CheckpointManager
 from .early_stop import (
@@ -307,8 +307,9 @@ class HifiganTrainer:
                 + (f" do_={os.path.basename(pretrained_do)}"
                    if pretrained_do else "")
             )
-        self.state = state
-        return state
+        # commit replicated over the mesh: one jit cache entry per batch shape
+        self.state = commit_replicated(state, self.mesh)
+        return self.state
 
     def load_generator_params(self, g_params):
         """Warm-start from a pretrained generator (the [male]/[female] g_ ckpt

@@ -34,7 +34,7 @@ from flax import struct
 from ..data.xva_dataset import XvaBatcher
 from ..models.xvapitch import VitsDiscriminator, XVAPitch, XVAPitchConfig
 from ..models.xvapitch import losses as v_losses
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import commit_replicated, make_mesh, shard_batch
 from . import amp
 from .checkpoints import CheckpointManager, export_xvapitch_v3
 from .early_stop import EarlyStopState
@@ -419,8 +419,9 @@ class XVAPitchTrainer:
             self.logger.log(
                 f"[warm start] base checkpoint {os.path.basename(pretrained_ckpt)}"
             )
-        self.state = state
-        return state
+        # commit replicated over the mesh: one jit cache entry per batch shape
+        self.state = commit_replicated(state, self.mesh)
+        return self.state
 
     def _next_batch(self, iterators):
         key = "ft" if (self.finetune_it or self.priors_batcher is None) else "priors"
