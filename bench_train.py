@@ -16,12 +16,32 @@ Measured v5e single chip (2026-08-17, bf16 mixed precision — train/amp.py):
 xVAPitch 91.9k frames/s @ B=64/384f (10.5x the reference per-GPU note;
 71.1k @ B=32, 61.7k @ B=16), FastPitch stage-4 29.3 steps/s (370k frames/s),
 HiFi-GAN 11.0 G+D steps/s @ B=16 (was 8.5 fp32 with the old two-forward
-step), fused mel kernel 8.7M frames/s.
+step), fused mel kernel 8.7M frames/s, TTS serving 91.5ms / RTF 130x for the
+static 1024-frame graph, trainer-LOOP (host feed incl., B=16, 1-CPU host)
+9.5k frames/s.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persist compiled programs across processes — the remote-compile tunnel
+    costs ~70s per train-step variant; without this every standalone
+    bench_train run recompiles everything."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def _fastpitch_batch(B, T_TEXT, T_MEL, seed=0):
@@ -350,8 +370,7 @@ def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2):
 
 
 def bench_train_steps(include_xvapitch: bool = True):
-    import os
-
+    _enable_compile_cache()
     fp = bench_fastpitch()
     hg = bench_hifigan()
     out = {}
@@ -359,8 +378,11 @@ def bench_train_steps(include_xvapitch: bool = True):
     out.update(hg)
     if include_xvapitch:
         out.update(bench_xvapitch())
-    if os.environ.get("XVA_BENCH_INFER") == "1":
-        out.update(bench_tts_infer())
+    if os.environ.get("XVA_BENCH_INFER", "1") != "0":
+        try:
+            out.update(bench_tts_infer())
+        except Exception:
+            pass
     if os.environ.get("XVA_BENCH_LOOP") == "1":
         out.update(bench_v2_trainer_loop())
     return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()}
