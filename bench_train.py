@@ -159,10 +159,11 @@ def bench_hifigan(B=16, iters=10):
     }
 
 
-def bench_xvapitch(B=64, T_TEXT=96, T_SPEC=384, iters=10):
-    # B=64 @ 384 frames is what the trainer actually runs in its 384-mel
-    # bucket (XvaBatcher.batch_size_for: batch 32 at the 768 bucket scales
-    # to 64 here; memory-constant batch×frames)
+def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
+    # B=128 @ 384 frames is what the trainer actually runs in its 384-mel
+    # bucket (XvaBatcher.batch_size_for: batch 64 at the 768 bucket scales
+    # to 128 here; memory-constant batch×frames). Measured 109.2k frames/s
+    # (2026-08-17), vs 91.9k @ B=64 and 71.1k @ B=32.
     """Full-size xVAPitch fused G+D micro-step (the reference's headline
     frames/s metric: Σ batch mel_lengths / step wall time; dev-note baseline
     ~8.5-9k frames/s/GPU — training_util.py:48-56)."""

@@ -146,7 +146,8 @@ class TrainingSession:
         dataset_path = data["dataset_path"]
         output_path = data["output_path"]
         lang = data.get("lang", "en")
-        bs = int(data.get("batch_size", 16))
+        # default = measured v5e optimum at the largest bucket (train config)
+        bs = int(data.get("batch_size", 64))
 
         def text_to_ids(text):
             return self.server._text_to_ids(text, lang)

@@ -97,7 +97,7 @@ def main(argv=None):
     t3.add_argument("--dataset", required=True)
     t3.add_argument("--output", required=True)
     t3.add_argument("--lang", default="en")
-    t3.add_argument("--batch-size", type=int, default=16, dest="batch_size")
+    t3.add_argument("--batch-size", type=int, default=64, dest="batch_size")
     t3.add_argument("--target-bs", type=int, default=400, dest="target_bs")
     t3.add_argument("--max-steps", type=int, default=None, dest="max_steps")
     t3.add_argument("--no-resume", action="store_true")

@@ -54,7 +54,11 @@ class XvaTrainConfig:
     output_dir: str = "out_v3"
     # 32/chip: +15% frames/s over 16 on v5e under bf16 (the reference dev
     # notes ran 30/GPU — training_util.py:48-56); gam keeps effective 400
-    batch_size: int = 32
+    # per-bucket micro-batch at the LARGEST (768-frame) bucket; shorter
+    # buckets scale up at constant batch×frames (XvaBatcher.batch_size_for).
+    # Measured v5e bf16: the equivalent B=128@384f runs 109.2k frames/s vs
+    # 91.9k at B=64@384f — memory-safe because the product is the bound.
+    batch_size: int = 64
     target_bs: int = 400     # reference :1142
     gen_lr: float = 1.75e-4
     disc_lr: float = 2e-4
