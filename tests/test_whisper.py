@@ -144,3 +144,17 @@ def test_bpe_decoder_tiktoken(tmp_path):
     dec = BpeDecoder.find(str(tmp_path))
     assert dec is not None
     assert dec.decode([0, 1, 2]) == "hello world!"
+
+
+def test_special_token_canonical_ids():
+    """The multilingual vocab's special ids must match openai/whisper's
+    tokenizer exactly — off-by-N breaks decoding on real checkpoints."""
+    from xva_trainer_tpu.models.whisper.model import SpecialTokens
+
+    st = SpecialTokens(51865)
+    assert st.eot == 50257          # <|endoftext|>
+    assert st.sot == 50258          # <|startoftranscript|>
+    assert st.lang_id("en") == 50259
+    assert st.transcribe == 50359
+    assert st.no_timestamps == 50363
+    assert SpecialTokens(51864).eot == 50256  # English-only models

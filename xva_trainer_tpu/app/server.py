@@ -93,9 +93,19 @@ class TrainingSession:
         elif isinstance(data, dict) and "queue" in data:
             self.queue = list(data["queue"])
             self.queue_index = 0
-        else:
+        elif isinstance(data, dict) and data.get("dataset_path"):
             self.queue = [data]
             self.queue_index = 0
+        else:
+            # resume with nothing persisted / an empty message: no-op rather
+            # than enqueueing {} and crashing in _run
+            if websocket:
+                await websocket.send(json.dumps({
+                    "key": "tasks_error",
+                    "data": "nothing to resume: no dataset_path and no "
+                            "persisted training queue",
+                }))
+            return
         self.save_queue()
         self.task = asyncio.create_task(self._run_queue(websocket))
 

@@ -53,6 +53,21 @@ def read_metadata(dataset_path: str) -> List[Utterance]:
     return items
 
 
+def heal_corrupt_item(cache, item: Utterance) -> None:
+    """Remove an unreadable item from a feature cache's dataset and record it
+    in ``corrupt_wavs.txt`` (the reference deletes the wav outright —
+    xvapitch/dataset.py:335-338; we keep the file but exclude it). Works on
+    any cache with ``items`` and ``cache_dir`` (v2 FeatureCache and v3
+    XvaFeatureCache)."""
+    cache.items = [it for it in cache.items if it.item_id != item.item_id]
+    try:
+        with open(os.path.join(cache.cache_dir, "corrupt_wavs.txt"), "a",
+                  encoding="utf8") as f:
+            f.write(item.wav_path + "\n")
+    except OSError:
+        pass
+
+
 class FeatureCache:
     """Precompute-once mel/pitch/energy cache under <dataset>/.tpu_cache/."""
 
@@ -168,16 +183,7 @@ class FeatureCache:
             return {k: z[k] for k in z.files}
 
     def _heal_corrupt(self, item: Utterance) -> None:
-        """Remove an unreadable item from the dataset and record it in
-        ``corrupt_wavs.txt`` (the reference deletes the wav outright —
-        xvapitch/dataset.py:335-338; we keep the file but exclude it)."""
-        self.items = [it for it in self.items if it.item_id != item.item_id]
-        try:
-            with open(os.path.join(self.cache_dir, "corrupt_wavs.txt"), "a",
-                      encoding="utf8") as f:
-                f.write(item.wav_path + "\n")
-        except OSError:
-            pass
+        heal_corrupt_item(self, item)
 
     def pitch_stats(self) -> Dict[str, float]:
         """Dataset-level voiced-pitch mean/std (reference

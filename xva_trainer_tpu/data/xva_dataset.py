@@ -25,7 +25,7 @@ import numpy as np
 
 from ..ops.stft import DEFAULT_MEL, MelConfig
 from .audio_io import load_wav, resample
-from .dataset import Bucket, Utterance, read_metadata
+from .dataset import Bucket, Utterance, heal_corrupt_item, read_metadata
 from .pitch import yin_f0
 
 # v3 normalizes pitch with fixed xVASpeech stats (reference dataset.py:157-158)
@@ -89,17 +89,8 @@ class XvaFeatureCache:
             try:
                 y, sr = load_wav(src, target_sr=self.mel_cfg.sample_rate)
             except Exception:
-                # corrupt-wav self-healing: drop the item and keep building
-                # (reference deletes unreadable wavs on load,
-                # xvapitch/dataset.py:335-338)
-                self.items = [it for it in self.items
-                              if it.item_id != item.item_id]
-                try:
-                    with open(os.path.join(self.cache_dir, "corrupt_wavs.txt"),
-                              "a", encoding="utf8") as f:
-                        f.write(item.wav_path + "\n")
-                except OSError:
-                    pass
+                # corrupt-wav self-healing (shared with the v2 cache)
+                heal_corrupt_item(self, item)
                 continue
             hop = self.mel_cfg.hop_length
             y = y[: len(y) // hop * hop]
@@ -375,7 +366,9 @@ class XvaBatcher:
                 if os.path.exists(c._cache_path(it)):
                     self._index.append((c, it))
         self._active = list(self._index)
-        self._lengths: Dict[str, tuple] = {}  # item_id -> (text_len, spec_len)
+        # (dataset_path, item_id) -> (text_len, spec_len): priors batchers
+        # span many datasets and bare filenames (0001.wav-style) collide
+        self._lengths: Dict[tuple, tuple] = {}
         # per-bucket batches must stay divisible by the mesh's data axis
         self.batch_divisor = 1
 
@@ -423,13 +416,14 @@ class XvaBatcher:
         once across all epochs (bucketing itself is cheap integer work)."""
         plans: Dict[Bucket, List] = {b: [] for b in self.buckets}
         for c, it in order:
-            lens = self._lengths.get(it.item_id)
+            key = (c.dataset_path, it.item_id)
+            lens = self._lengths.get(key)
             if lens is None:
                 d = c.load_item(it)
                 if d is None:
                     continue
                 lens = (len(d["tokens"]), d["linear"].shape[1])
-                self._lengths[it.item_id] = lens
+                self._lengths[key] = lens
             tl, sl = lens
             for b in self.buckets:
                 if tl <= b.text_len and sl <= b.mel_len:

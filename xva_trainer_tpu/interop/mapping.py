@@ -196,26 +196,4 @@ def apply_export(
     return out
 
 
-def merge_into(template, imported):
-    """Overlay imported leaves onto a full flax param tree (template keeps any
-    params absent from the checkpoint, e.g. the reversal classifier)."""
-    import jax
-
-    def _merge(t, i):
-        if isinstance(t, dict):
-            return {
-                k: (_merge(v, i[k]) if (isinstance(i, dict) and k in i) else v)
-                for k, v in t.items()
-            }
-        if i is None:
-            return t
-        arr = np.asarray(i)
-        if tuple(arr.shape) != tuple(np.shape(t)):
-            raise ValueError(
-                f"shape mismatch: ckpt {arr.shape} vs model {np.shape(t)}"
-            )
-        return arr.astype(np.asarray(t).dtype) if hasattr(t, "dtype") else arr
-
-    return jax.tree_util.tree_map(
-        lambda x: x, _merge(template, imported)
-    )
+# (template-overlay lives in pretrained._overlay — the single shared helper)

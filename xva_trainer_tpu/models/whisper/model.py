@@ -213,13 +213,22 @@ class SpecialTokens:
     """Token-id layout of the multilingual whisper vocab."""
 
     def __init__(self, n_vocab: int = 51865):
-        base = n_vocab - 1501 - len(WHISPER_LANGS)  # eot position
+        # canonical layout (openai/whisper tokenizer): ... text tokens | eot |
+        # sot | 99 langs | translate | transcribe | sot_lm | sot_prev |
+        # no_speech | no_timestamps | 1501 timestamp tokens.
+        # multilingual (51865): eot = 50257; English-only (51864): eot = 50256.
+        n_timestamps = 1501 if n_vocab > 2000 else 0
+        specials = 8  # eot..no_timestamps incl. sot_lm
+        base = n_vocab - n_timestamps - len(WHISPER_LANGS) - specials
+        if base < 0:  # tiny test vocabs: same order, packed at the top
+            base = max(0, n_vocab - len(WHISPER_LANGS) - specials)
         self.eot = base
         self.sot = base + 1
         self.lang_base = base + 2
         self.translate = self.lang_base + len(WHISPER_LANGS)
         self.transcribe = self.translate + 1
-        self.sot_prev = self.transcribe + 2
+        sot_lm = self.transcribe + 1
+        self.sot_prev = sot_lm + 1
         self.no_speech = self.sot_prev + 1
         self.no_timestamps = self.no_speech + 1
 

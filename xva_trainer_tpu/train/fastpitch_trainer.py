@@ -377,6 +377,11 @@ class FastPitchTrainer:
                 self._stage_objects()  # rebuild step with use_gt_durs
             if self.stage != prev_stage and batcher_factory is not None:
                 batcher = batcher_factory(self.stage)
+                # a fresh batcher must keep serving pre-extracted durations —
+                # otherwise the use_gt_durs step silently falls back to the
+                # live aligner+MAS path every step
+                if self.stage >= 2 and self.cache.has_durations():
+                    batcher.use_durs = True
             if all_done or self.stop_requested:
                 break
             if max_iters and self.total_iter >= max_iters:

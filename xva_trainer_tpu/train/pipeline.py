@@ -41,13 +41,16 @@ STAGE_BS_MULT = {1: 1.5, 2: 12.0, 3: 3.5, 4: 4.0}
 
 
 def stage_batch_size(base: int, stage: int, max_file_len_sec: float,
-                     n_devices: int = 1) -> int:
+                     n_devices: int = 1, divisor: int = 1) -> int:
     """Per-stage batch sizing (reference fastpitch1_1/xva_train.py:387-404):
     stage multiplier ×1.5/12/3.5/4, × device count, × (10 / max clip
-    seconds)."""
+    seconds). The result is rounded to a multiple of ``divisor`` (the mesh's
+    data-axis size — shard_batch requires batch % n_data == 0)."""
     mult = STAGE_BS_MULT.get(stage, 1.0)
     file_mult = 10.0 / max(max_file_len_sec, 1e-6)
-    return max(1, int(base * mult * n_devices * file_mult))
+    bs = max(1, int(base * mult * n_devices * file_mult))
+    d = max(1, divisor)
+    return max(d, (bs // d) * d)
 
 
 def _is_oom(err: Exception) -> bool:
@@ -82,9 +85,15 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
     cache = FeatureCache(cfg.dataset_path, tp.encode)
     cache.build()
     max_len_sec = cache.max_file_len_sec()
-    n_dev = 1
-    if mesh is not None:
-        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if mesh is None:
+        # build it here so batch sizing sees the real device count (the
+        # trainers would otherwise build an all-device mesh themselves and
+        # shard_batch would reject undividable batches)
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_data = int(mesh.shape.get("data", 1))
 
     fp_cfg = FastPitchTrainConfig(
         output_dir=cfg.output_path,
@@ -104,9 +113,12 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
         arpabet_tp = TextProcessor(p_arpabet=0.3, cmudict_path=cmu)
 
     def batcher_for(stage: int) -> BucketBatcher:
-        bs = stage_batch_size(cfg.batch_size, stage, max_len_sec, n_dev)
+        bs = stage_batch_size(cfg.batch_size, stage, max_len_sec, n_dev,
+                              divisor=n_data)
         b = BucketBatcher(cache, batch_size=bs)
         b.arpabet_encoder = arpabet_tp
+        # pre-extracted durations survive batcher swaps (see fp.train)
+        b.use_durs = cache.has_durations()
         return b
 
     batcher = batcher_for(fp.stage)
