@@ -130,6 +130,7 @@ def load_whisper(path: str):
             n_text_state=int(dims["n_text_state"]),
             n_text_head=int(dims["n_text_head"]),
             n_text_layer=int(dims["n_text_layer"]),
+            n_mels=int(dims.get("n_mels", 80)),  # large-v3 / v3-turbo: 128
         )
     else:
         # infer from shapes
@@ -150,6 +151,8 @@ def load_whisper(path: str):
             n_text_ctx=np.asarray(sd["decoder.positional_embedding"]).shape[0],
             n_audio_head=max(1, state // 64),
             n_text_head=max(1, state // 64),
+            # torch conv1 weight is (out, in=n_mels, k)
+            n_mels=np.asarray(sd["encoder.conv1.weight"]).shape[1],
         )
     params = apply_import(sd, whisper_rules(cfg.n_audio_layer, cfg.n_text_layer),
                           strict=True)

@@ -75,7 +75,10 @@ class AffineCoupling(nn.Module):
         h = self.start(z0)
         h = self.wn(h, None, g=cond)
         out = self.end(h)
-        return out[..., : self.half], out[..., self.half :]
+        # NVIDIA layout (reference waveglow/model.py:232-233): log_s is the
+        # SECOND half of the projection, b the first — imported checkpoints
+        # depend on this ordering
+        return out[..., self.half :], out[..., : self.half]
 
     def __call__(self, z, cond, reverse: bool = False):
         z0, z1 = z[..., : self.half], z[..., self.half :]

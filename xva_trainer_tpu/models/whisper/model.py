@@ -42,6 +42,7 @@ class WhisperConfig:
     n_text_state: int = 384
     n_text_head: int = 6
     n_text_layer: int = 4
+    n_mels: int = 80  # large-v3 / v3-turbo use 128
 
     @property
     def multilingual(self) -> bool:
@@ -58,7 +59,7 @@ WHISPER_SIZES = {
 }
 
 
-def log_mel_spectrogram(audio: np.ndarray) -> np.ndarray:
+def log_mel_spectrogram(audio: np.ndarray, n_mels: int = N_MELS) -> np.ndarray:
     """OpenAI whisper log-mel: 400/160 hann STFT → slaney mel → log10,
     8-dB dynamic range, (x+4)/4 (whisper/audio.py semantics)."""
     x = np.asarray(audio, np.float32)
@@ -72,7 +73,7 @@ def log_mel_spectrogram(audio: np.ndarray) -> np.ndarray:
     idx = np.arange(N_FFT)[None, :] + HOP * np.arange(frames)[:, None]
     stft = np.fft.rfft(xp[idx] * window, axis=1)
     mag2 = (np.abs(stft[:-1]) ** 2).T  # drop the final frame like whisper
-    fb = mel_filterbank(SAMPLE_RATE, N_FFT, N_MELS, 0.0, SAMPLE_RATE / 2)
+    fb = mel_filterbank(SAMPLE_RATE, N_FFT, n_mels, 0.0, SAMPLE_RATE / 2)
     mel = fb @ mag2
     log_spec = np.log10(np.maximum(mel, 1e-10))
     log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
@@ -214,18 +215,22 @@ class SpecialTokens:
 
     def __init__(self, n_vocab: int = 51865):
         # canonical layout (openai/whisper tokenizer): ... text tokens | eot |
-        # sot | 99 langs | translate | transcribe | sot_lm | sot_prev |
+        # sot | langs | translate | transcribe | sot_lm | sot_prev |
         # no_speech | no_timestamps | 1501 timestamp tokens.
-        # multilingual (51865): eot = 50257; English-only (51864): eot = 50256.
+        # multilingual (51865, 99 langs): eot = 50257; large-v3 (51866,
+        # 100 langs incl. yue): eot = 50257; English-only (51864): eot = 50256.
+        self.langs = list(WHISPER_LANGS)
+        if n_vocab >= 51866:
+            self.langs.append("yue")
         n_timestamps = 1501 if n_vocab > 2000 else 0
         specials = 8  # eot..no_timestamps incl. sot_lm
-        base = n_vocab - n_timestamps - len(WHISPER_LANGS) - specials
+        base = n_vocab - n_timestamps - len(self.langs) - specials
         if base < 0:  # tiny test vocabs: same order, packed at the top
-            base = max(0, n_vocab - len(WHISPER_LANGS) - specials)
+            base = max(0, n_vocab - len(self.langs) - specials)
         self.eot = base
         self.sot = base + 1
         self.lang_base = base + 2
-        self.translate = self.lang_base + len(WHISPER_LANGS)
+        self.translate = self.lang_base + len(self.langs)
         self.transcribe = self.translate + 1
         sot_lm = self.transcribe + 1
         self.sot_prev = sot_lm + 1
@@ -233,7 +238,7 @@ class SpecialTokens:
         self.no_timestamps = self.no_speech + 1
 
     def lang_id(self, lang: str) -> int:
-        return self.lang_base + WHISPER_LANGS.index(lang)
+        return self.lang_base + self.langs.index(lang)
 
 
 class WhisperASR:
@@ -261,7 +266,7 @@ class WhisperASR:
         self._next = next_token
 
     def transcribe_tokens(self, audio16k: np.ndarray, lang: str = "en") -> list:
-        mel = log_mel_spectrogram(audio16k)[None]
+        mel = log_mel_spectrogram(audio16k, self.cfg.n_mels)[None]
         feats = self._encode(self.params, jnp.asarray(mel))
         st = self.st
         prefix = [st.sot]

@@ -24,14 +24,6 @@ import numpy as np
 from ...ops.spline import rational_quadratic_spline
 
 
-class ChannelLayerNorm(nn.Module):
-    """LayerNorm over the channel axis (reference glow_tts LayerNorm2)."""
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.LayerNorm()(x)
-
-
 def _conv1d(features, kernel_size=1, groups=1, name=None, use_bias=True):
     return nn.Conv(
         features,
@@ -309,14 +301,18 @@ class ConvFlow(nn.Module):
         h = DilatedDepthSeparableConv(
             self.filter_channels, self.kernel_size, self.num_layers
         )(h, x_mask, g=g, deterministic=deterministic)
-        params = _conv1d(half * (self.num_bins * 3 - 1), name="proj")(h) * x_mask
+        # proj zero-init: every spline flow starts as the identity (uniform
+        # bins, unit derivatives) — reference sdp.py:145-147
+        params = nn.Conv(
+            half * (self.num_bins * 3 - 1), (1,), padding="SAME", name="proj",
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(h) * x_mask
         B, T, _ = x0.shape
         params = params.reshape(B, T, half, 3 * self.num_bins - 1)
         denom = np.sqrt(self.filter_channels)
         uw = params[..., : self.num_bins] / denom
         uh = params[..., self.num_bins : 2 * self.num_bins] / denom
         ud = params[..., 2 * self.num_bins :]
-        x1 = jnp.moveaxis(x1, -1, -1)  # (B, T, half)
         out1, logabsdet = rational_quadratic_spline(
             x1, uw, uh, ud, inverse=reverse, tail_bound=self.tail_bound
         )

@@ -20,23 +20,12 @@ MEL_LOSS_ALPHA = 45.0
 PITCH_LOSS_SCALE = 0.1
 
 
-def feature_matching_loss(feats_real, feats_fake):
-    loss = 0.0
-    for fr, ff in zip(feats_real, feats_fake):
-        for r, f in zip(fr, ff):
-            loss += jnp.mean(jnp.abs(jax.lax.stop_gradient(r) - f))
-    return loss * 2.0
-
-
-def lsgan_generator_loss(scores_fake):
-    return sum(jnp.mean((1.0 - s) ** 2) for s in scores_fake)
-
-
-def lsgan_discriminator_loss(scores_real, scores_fake):
-    return sum(
-        jnp.mean((1.0 - r) ** 2) + jnp.mean(f**2)
-        for r, f in zip(scores_real, scores_fake)
-    )
+# one source of truth for the GAN losses (identical math in both families)
+from ..hifigan.models import (  # noqa: E402
+    discriminator_loss as lsgan_discriminator_loss,
+    feature_matching_loss,
+    generator_adv_loss as lsgan_generator_loss,
+)
 
 
 def kl_loss(z_p, logs_q, m_p, logs_p, z_mask):

@@ -211,8 +211,11 @@ class XVAPitch(nn.Module):
         attn = sg(maximum_path(logp, attn_mask))  # (B, T_text, T_spec)
 
         attn_durations = attn.sum(axis=2)[..., None]  # (B, T_text, 1)
+        # detach_dp_input semantics (reference model.py:794-802): x and g are
+        # detached, but lang_emb is deliberately NOT — the language embedding
+        # trains through the duration NLL
         nll_dur = self.duration_predictor(
-            x, x_mask, dr=attn_durations, g=sg(g), lang_emb=sg(lang_emb),
+            sg(x), x_mask, dr=attn_durations, g=sg(g), lang_emb=lang_emb,
             deterministic=deterministic,
         )
         loss_duration = nll_dur / jnp.sum(x_mask)
@@ -358,23 +361,9 @@ class XVAPitch(nn.Module):
         )
 
 
-def _average_over_durs(values: jnp.ndarray, durs: jnp.ndarray) -> jnp.ndarray:
-    """Mean of nonzero frames per token (reference model.py average_pitch).
-
-    values (B, 1, T_frames); durs (B, T_text) → (B, 1, T_text)."""
-    ends = jnp.cumsum(durs, axis=1).astype(jnp.int32)
-    starts = jnp.pad(ends[:, :-1], ((0, 0), (1, 0)))
-    cums = jnp.pad(jnp.cumsum(values, axis=2), ((0, 0), (0, 0), (1, 0)))
-    nz = jnp.pad(
-        jnp.cumsum((values != 0).astype(jnp.float32), axis=2),
-        ((0, 0), (0, 0), (1, 0)),
-    )
-    Tp1 = cums.shape[-1]
-    e = jnp.clip(ends, 0, Tp1 - 1)[:, None, :]
-    s = jnp.clip(starts, 0, Tp1 - 1)[:, None, :]
-    sums = jnp.take_along_axis(cums, e, 2) - jnp.take_along_axis(cums, s, 2)
-    counts = jnp.take_along_axis(nz, e, 2) - jnp.take_along_axis(nz, s, 2)
-    return jnp.where(counts == 0, 0.0, sums / jnp.maximum(counts, 1.0))
+# duration-bucketed nonzero-mean pooling: identical math to FastPitch's
+# average_pitch (fastpitch/model.py:76-96) — one implementation, two models
+from ..fastpitch.model import average_pitch as _average_over_durs  # noqa: E402
 
 
 def _generate_path(durs: jnp.ndarray, x_mask: jnp.ndarray, max_frames: int):

@@ -13,6 +13,7 @@ Parity targets:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -317,9 +318,6 @@ class RelativePositioningPitchEnergyEncoder(nn.Module):
         )(x * x_mask, x_mask, deterministic=deterministic)
 
 
-import functools
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def gradient_reversal(x, clamp: float = 0.25):
     return x
@@ -348,6 +346,9 @@ class ReversalClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = gradient_reversal(x, self.clipping)
+        # The reference's forward does NOT apply GradientReversalFunction —
+        # the apply is commented out (model.py:1068) — so for parity the
+        # encoder trains TOWARD language predictability. gradient_reversal
+        # (with clipping) is kept above for opt-in adversarial use.
         h = nn.Dense(self.hidden_dim)(x)
         return nn.Dense(self.output_dim)(h)
