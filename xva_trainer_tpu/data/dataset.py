@@ -53,19 +53,40 @@ def read_metadata(dataset_path: str) -> List[Utterance]:
     return items
 
 
-def heal_corrupt_item(cache, item: Utterance) -> None:
+def corrupt_wavs_path(cache_dir: str) -> str:
+    return os.path.join(cache_dir, "corrupt_wavs.txt")
+
+
+def load_corrupt_list(cache_dir: str) -> set:
+    p = corrupt_wavs_path(cache_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p, encoding="utf8") as f:
+        return {line.strip() for line in f if line.strip()}
+
+
+def heal_corrupt_item(cache, item: Utterance, bad_path: str = None) -> None:
     """Remove an unreadable item from a feature cache's dataset and record it
     in ``corrupt_wavs.txt`` (the reference deletes the wav outright —
-    xvapitch/dataset.py:335-338; we keep the file but exclude it). Works on
-    any cache with ``items`` and ``cache_dir`` (v2 FeatureCache and v3
-    XvaFeatureCache)."""
+    xvapitch/dataset.py:335-338; we keep the file but exclude it — the
+    exclusion persists because both caches drop recorded paths at __init__).
+    Works on any cache with ``items`` and ``cache_dir``."""
     cache.items = [it for it in cache.items if it.item_id != item.item_id]
+    bad = bad_path or item.wav_path
     try:
-        with open(os.path.join(cache.cache_dir, "corrupt_wavs.txt"), "a",
-                  encoding="utf8") as f:
-            f.write(item.wav_path + "\n")
+        if bad not in load_corrupt_list(cache.cache_dir):
+            with open(corrupt_wavs_path(cache.cache_dir), "a",
+                      encoding="utf8") as f:
+                f.write(bad + "\n")
     except OSError:
         pass
+
+
+def drop_known_corrupt(cache) -> None:
+    """Exclude previously-healed wavs at cache construction (persistence)."""
+    bad = load_corrupt_list(cache.cache_dir)
+    if bad:
+        cache.items = [it for it in cache.items if it.wav_path not in bad]
 
 
 class FeatureCache:
@@ -84,6 +105,7 @@ class FeatureCache:
         self.mel_cfg = mel_cfg
         self.text_to_ids = text_to_ids
         self.items = read_metadata(dataset_path)
+        drop_known_corrupt(self)
         self._prior = BetaBinomialInterpolator()
         if use_pallas is None:
             import jax
@@ -147,7 +169,7 @@ class FeatureCache:
                 # corrupt-wav self-healing: drop the item and keep building
                 # (reference deletes unreadable wavs on load,
                 # xvapitch/dataset.py:335-338)
-                self._heal_corrupt(item)
+                heal_corrupt_item(self, item)
                 continue
             # frame-align the waveform (static hop multiple)
             hop = self.mel_cfg.hop_length
@@ -181,9 +203,6 @@ class FeatureCache:
             return None
         with np.load(p) as z:
             return {k: z[k] for k in z.files}
-
-    def _heal_corrupt(self, item: Utterance) -> None:
-        heal_corrupt_item(self, item)
 
     def pitch_stats(self) -> Dict[str, float]:
         """Dataset-level voiced-pitch mean/std (reference

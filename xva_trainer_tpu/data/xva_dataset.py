@@ -25,7 +25,8 @@ import numpy as np
 
 from ..ops.stft import DEFAULT_MEL, MelConfig
 from .audio_io import load_wav, resample
-from .dataset import Bucket, Utterance, heal_corrupt_item, read_metadata
+from .dataset import (Bucket, Utterance, drop_known_corrupt,
+                      heal_corrupt_item, read_metadata)
 from .pitch import yin_f0
 
 # v3 normalizes pitch with fixed xVASpeech stats (reference dataset.py:157-158)
@@ -63,6 +64,7 @@ class XvaFeatureCache:
         self.mel_cfg = mel_cfg
         self.text_to_ids = text_to_ids
         self.items = read_metadata(dataset_path)
+        drop_known_corrupt(self)
         if use_pallas is None:
             import jax
 
@@ -89,9 +91,19 @@ class XvaFeatureCache:
             try:
                 y, sr = load_wav(src, target_sr=self.mel_cfg.sample_rate)
             except Exception:
-                # corrupt-wav self-healing (shared with the v2 cache)
-                heal_corrupt_item(self, item)
-                continue
+                # a truncated postprocessed file must not cost us the intact
+                # original — fall back before healing
+                if src != item.wav_path:
+                    try:
+                        y, sr = load_wav(item.wav_path,
+                                         target_sr=self.mel_cfg.sample_rate)
+                    except Exception:
+                        heal_corrupt_item(self, item, bad_path=item.wav_path)
+                        continue
+                else:
+                    # corrupt-wav self-healing (shared with the v2 cache)
+                    heal_corrupt_item(self, item, bad_path=src)
+                    continue
             hop = self.mel_cfg.hop_length
             y = y[: len(y) // hop * hop]
             if len(y) < hop * 40:  # skip sub-0.5s clips
@@ -373,28 +385,47 @@ class XvaBatcher:
         self.batch_divisor = 1
 
     def __len__(self):
-        return max(1, len(self._active) // self.batch_size)
+        """Number of batches in one (unshuffled) epoch plan — bucket batch
+        sizes vary, so count the actual plan."""
+        plans = self._plan(list(self._active))
+        n = sum(
+            int(np.ceil(len(v) / self.batch_size_for(b)))
+            for b, v in plans.items() if v
+        )
+        return max(1, n)
+
+    # decoder/discriminator activations scale with batch alone (they see
+    # fixed-size segments per item), so cap the short-bucket scale-up at 2x
+    # the tuned batch — B=2x at the half-length bucket is the measured-safe
+    # envelope (bench_train.py: B=128@384f fits, B=256@384f OOMs on v5e)
+    MAX_BUCKET_SCALE = 2.0
 
     def batch_size_for(self, b: Bucket) -> int:
-        """Memory-constant per-bucket batch size.
+        """Memory-constant per-bucket batch size (bounded).
 
-        Activation memory scales with batch×frames, so hold their product
-        constant across buckets: ``batch_size`` is the batch at the LARGEST
-        bucket (the memory bound) and shorter buckets scale up inversely with
-        mel length (same idea as the reference's file-length batch
-        multiplier, fastpitch1_1/xva_train.py:401-403). Measured on v5e
-        (bf16): 61.7k frames/s @ B=16/384f → 91.1k @ B=64/384f, so the short
-        buckets' bigger batches are pure throughput.
+        Posterior/flow activation memory scales with batch×frames, so hold
+        their product constant across buckets: ``batch_size`` is the batch at
+        the LARGEST bucket (the memory bound) and shorter buckets scale up
+        inversely with mel length (same idea as the reference's file-length
+        batch multiplier, fastpitch1_1/xva_train.py:401-403), clamped to
+        MAX_BUCKET_SCALE for the segment-path terms.
         """
         max_len = self.buckets[-1].mel_len  # sorted ascending in __init__
-        n = int(round(self.batch_size * max_len / b.mel_len))
+        scale = min(max_len / b.mel_len, self.MAX_BUCKET_SCALE)
+        n = int(round(self.batch_size * scale))
         d = max(1, self.batch_divisor)
         n = max(d, (max(1, n) // d) * d)
         return n
 
+    @staticmethod
+    def item_key(cache, item) -> str:
+        """Collision-safe item name (bare stems collide across priors
+        datasets): '<dataset_path>::<item_id>'."""
+        return f"{cache.dataset_path}::{item.item_id}"
+
     def resample_by_loss(self, loss_by_item: Dict[str, float]):
         names = loss_sorted_resample(loss_by_item)
-        by_name = {it.item_id: (c, it) for c, it in self._index}
+        by_name = {self.item_key(c, it): (c, it) for c, it in self._index}
         self._active = [by_name[n] for n in names if n in by_name]
         if not self._active:
             self._active = list(self._index)
@@ -472,9 +503,11 @@ class XvaBatcher:
         # Partial tail chunks: repeat real items to fill the static batch.
         # All-zero dummy rows would inject silence gradients into the mel L1,
         # adversarial and discriminator losses every epoch.
-        ids = [it.item_id for _, it in chunk]
+        ids = [self.item_key(c, it) for c, it in chunk]
         if 0 < len(chunk) < n:
             chunk = [chunk[i % len(chunk)] for i in range(n)]
+        # one npz read per UNIQUE item — tail-filled chunks repeat rows
+        loaded: Dict[str, Dict[str, np.ndarray]] = {}
         tokens = np.zeros((n, b.text_len), np.int32)
         tlens = np.ones((n,), np.int32)
         linear = np.zeros((n, b.mel_len, 513), np.float32)
@@ -485,7 +518,10 @@ class XvaBatcher:
         lang = np.zeros((n,), np.int32)
         dvec = np.tile(self.d_vector[None], (n, 1))
         for i, (c, it) in enumerate(chunk):
-            d = c.load_item(it)
+            k = self.item_key(c, it)
+            d = loaded.get(k)
+            if d is None:
+                d = loaded[k] = c.load_item(it)
             tl = min(len(d["tokens"]), b.text_len)
             sl = min(d["linear"].shape[1], b.mel_len)
             tokens[i, :tl] = d["tokens"][:tl]
