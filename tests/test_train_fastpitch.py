@@ -111,3 +111,54 @@ def test_resume_roundtrip(dataset):
     tr2 = FastPitchTrainer(cache, cfg, TINY_MODEL, mesh=mesh)
     tr2.setup(batcher, resume=True)
     assert tr2.total_iter > 0  # picked up the checkpoint from the prior test
+
+
+def test_stage_transitions_never_skip_stage_4():
+    """Stage N hitting its early-stop target advances to N+1 and KEEPS
+    training; only stage 4 completing ends the run (a bug returned True on
+    the 3->4 transition, so the mel stage trained zero epochs)."""
+    from xva_trainer_tpu.train.early_stop import EarlyStopState
+
+    class _T(FastPitchTrainer):
+        def __init__(self):  # bypass heavy init; exercise only finish_epoch
+            self.stage = 3
+            self.epoch = 0
+            self.total_iter = 0
+            self.cfg = FastPitchTrainConfig(output_dir="/tmp/xva_t34")
+            self.early = EarlyStopState(target_delta=1e9, min_epochs=0)
+            self.logger = type("L", (), {"log": lambda s, m: None})()
+            self.graphs = type(
+                "G", (), {"add_loss": lambda s, *a: None,
+                          "add_delta": lambda s, *a: None})()
+
+        def save_checkpoint(self):
+            pass
+
+        def _stage_objects(self):
+            self.early = EarlyStopState(target_delta=1e9, min_epochs=0)
+
+    class _State:
+        params = None
+
+        def replace(self, **kw):
+            return self
+
+    class _Tx:
+        def init(self, p):
+            return None
+
+    t = _T()
+    t.state, t.tx = _State(), _Tx()
+    # huge target + zero min epochs: two flat epochs trip the early stop
+    assert t.finish_epoch([1.0]) is False
+    done = False
+    for _ in range(10):
+        done = t.finish_epoch([1.0])
+        if t.stage == 4:
+            break
+    assert t.stage == 4 and done is False  # 3->4 advanced, run continues
+
+    for _ in range(10):
+        if t.finish_epoch([1.0]):
+            break
+    assert t.stage == 4  # completing stage 4 ends the run without advancing

@@ -292,10 +292,13 @@ def parse_srt(text: str) -> List[Dict]:
 
 def format_srt(entries: List[Dict]) -> str:
     def fmt(t):
-        h, rem = divmod(t, 3600)
+        # round to whole milliseconds FIRST: rounding the fractional part
+        # alone can yield ms=1000 ("00:00:01,1000", malformed SRT)
+        total_ms = int(round(t * 1000))
+        s, ms = divmod(total_ms, 1000)
+        h, rem = divmod(s, 3600)
         m, s = divmod(rem, 60)
-        ms = int(round((s - int(s)) * 1000))
-        return f"{int(h):02d}:{int(m):02d}:{int(s):02d},{ms:03d}"
+        return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
 
     out = []
     for i, e in enumerate(entries, 1):

@@ -217,7 +217,8 @@ class DiarizationTool(BaseTool):
 
     async def run(self, data: Dict, websocket=None):
         in_path = data.get("inPath") or data["inputDirectory"]
-        out_dir = data.get("outputDirectory") or os.path.dirname(in_path) + "_diarized"
+        out_dir = (data.get("outputDirectory")
+                   or in_path.rstrip("/\\") + "_diarized")
         settings = data.get("toolSettings", {})
         make_labels = bool(settings.get("outputAudacityLabels", False))
         num_speakers = settings.get("numSpeakers")

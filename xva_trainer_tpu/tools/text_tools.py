@@ -41,6 +41,8 @@ class TranscribeTool(BaseTool):
     """
 
     _asr_backend = None
+    _asr_cache: Dict = {}  # (model_path, lang) -> fn: loaded models are
+    # language-parameterized closures, so EN and DE runs must not share one
 
     @classmethod
     def set_asr_backend(cls, fn):
@@ -51,6 +53,10 @@ class TranscribeTool(BaseTool):
         if TranscribeTool._asr_backend is not None:
             return TranscribeTool._asr_backend
         model_path = model_path or os.environ.get("XVA_WHISPER_CKPT")
+        cache_key = (model_path, lang)
+        cached = TranscribeTool._asr_cache.get(cache_key)
+        if cached is not None:
+            return cached
         if model_path and os.path.isfile(model_path) and model_path.endswith(".pt"):
             # native flax whisper from the local checkpoint (the reference's
             # transcribe/whisper/{size}.pt role — transcribe/model.py:150-157)
@@ -71,7 +77,7 @@ class TranscribeTool(BaseTool):
                     return " ".join(str(i) for i in ids)
                 return tok.decode(ids).strip()
 
-            TranscribeTool._asr_backend = fn
+            TranscribeTool._asr_cache[cache_key] = fn
             return fn
         if model_path and os.path.isdir(model_path) and os.path.exists(
             os.path.join(model_path, "config.json")
@@ -87,7 +93,7 @@ class TranscribeTool(BaseTool):
 
                 asr = Wav2Vec2CTC.from_hf_dir(model_path)
                 fn = lambda wav16k: asr.transcribe(wav16k)
-                TranscribeTool._asr_backend = fn
+                TranscribeTool._asr_cache[cache_key] = fn
                 return fn
         if model_path and os.path.exists(model_path):
             from transformers import pipeline
@@ -97,7 +103,7 @@ class TranscribeTool(BaseTool):
             def fn(wav16k):
                 return asr({"raw": wav16k, "sampling_rate": 16000})["text"].strip()
 
-            TranscribeTool._asr_backend = fn
+            TranscribeTool._asr_cache[cache_key] = fn
             return fn
         return None
 
@@ -126,7 +132,8 @@ class TranscribeTool(BaseTool):
                         k, v = line.strip().split("|", 1)
                         existing[k] = v
         files = list_audio_files(in_path)
-        done = 0
+        done = sum(1 for f in files if os.path.basename(f) in existing)
+        self.write_progress(out_dir, done, len(files))
         for f in files:
             name = os.path.basename(f)
             if name in existing:

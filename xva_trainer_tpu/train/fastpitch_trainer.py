@@ -235,7 +235,10 @@ class FastPitchTrainer:
         reference torch FastPitch checkpoint (the v2 base model role,
         reference fastpitch1_1/xva_train.py:1054-1079)."""
         params = self._init_params(batcher)
-        if pretrained_ckpt and resume and self.ckpt.latest_step() is None:
+        # warm-start whenever no orbax checkpoint exists — an explicit
+        # resume=False fresh run from the base model must still load it
+        # (same semantics as XVAPitchTrainer/HifiganTrainer)
+        if pretrained_ckpt and self.ckpt.latest_step() is None:
             from ..interop.fastpitch_map import load_fastpitch_checkpoint
 
             loaded, meta = load_fastpitch_checkpoint(
@@ -341,12 +344,14 @@ class FastPitchTrainer:
         if done:
             self.logger.log(f"[Trainer] Stage {self.stage} finished")
             if self.stage < 4:
+                # advance and KEEP TRAINING — the new stage must run from
+                # epoch 0 (returning True here would skip it entirely)
                 self.stage += 1
                 self._stage_objects()
                 self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
-            else:
-                return True  # end of FastPitch training → hand off to HiFi-GAN
-        return done and self.stage >= 4
+                return False
+            return True  # stage 4 done → hand off to HiFi-GAN
+        return False
 
     def save_checkpoint(self):
         host = {

@@ -232,11 +232,13 @@ class HifiganTrainer:
         # state (inject_hyperparams) and is stepped by finish_epoch, matching
         # the reference's per-epoch scheduler (xva_train.py:306-307) instead
         # of a steps-per-epoch approximation
+        # torch.optim.AdamW default decoupled weight decay 0.01 — the
+        # reference constructs AdamW without a weight_decay arg (:298-299)
         self.g_tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.0
+            learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.01
         )
         self.d_tx = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.0
+            learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.01
         )
         self._step_fn = make_gan_step(self.gen, self.disc, self.g_tx, self.d_tx,
                                       mel_cfg, use_amp=cfg.use_amp)

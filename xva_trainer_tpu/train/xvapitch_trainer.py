@@ -37,8 +37,8 @@ from ..models.xvapitch import losses as v_losses
 from ..parallel.mesh import commit_replicated, make_mesh, shard_batch
 from . import amp
 from .checkpoints import CheckpointManager, export_xvapitch_v3
-from .early_stop import EarlyStopState
 from .metrics import GraphsWriter, ThroughputMeter, TrainingLogger
+from .optim import make_gan_optimizer
 
 
 class V3State(struct.PyTreeNode):
@@ -206,7 +206,10 @@ def make_v3_step(
         g_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads
         )
-        if freeze_post_dec:
+        if freeze_post_dec and not hifi_only:
+            # hifi_only trains ONLY the posterior/decoder — the stage-1
+            # freeze of exactly those modules must not apply, or nothing
+            # in the model would ever update
             g_grads = {"params": _zero_module_grads(g_grads["params"])}
 
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
@@ -214,6 +217,8 @@ def make_v3_step(
             g_updates = _keep_only_module_updates(g_updates)
         elif freeze_post_dec:
             g_updates = _zero_module_updates(g_updates)
+        # (hifi_only + freeze_post_dec would otherwise compose to "update
+        # nothing while weight-decaying the pretrained masters")
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
         def d_loss_fn(d_params):
@@ -325,9 +330,6 @@ class XVAPitchTrainer:
         with open(os.path.join(cfg.output_dir, "model_config.json"), "w") as f:
             json.dump(dataclasses.asdict(model_cfg), f, indent=2)
 
-        def sched(lr):
-            return lambda step: lr * cfg.lr_gamma**step
-
         # micro-batches are bucket-sized (XvaBatcher.batch_size_for), so gam
         # divides the target by the epoch plan's MEAN micro-batch — effective
         # batch stays ≈ target_bs (reference gam semantics, :1142)
@@ -336,15 +338,13 @@ class XVAPitchTrainer:
         except Exception:
             mean_bs = float(cfg.batch_size)
         self.gam = max(1, int(math.ceil(cfg.target_bs / max(mean_bs, 1.0))))
-        self.g_tx = optax.MultiSteps(
-            optax.adamw(sched(cfg.gen_lr), b1=0.8, b2=0.99,
-                        weight_decay=cfg.weight_decay),
-            every_k_schedule=self.gam,
+        self.g_tx = make_gan_optimizer(
+            cfg.gen_lr, gamma=cfg.lr_gamma, weight_decay=cfg.weight_decay,
+            grad_accum=self.gam,
         )
-        self.d_tx = optax.MultiSteps(
-            optax.adamw(sched(cfg.disc_lr), b1=0.8, b2=0.99,
-                        weight_decay=cfg.weight_decay),
-            every_k_schedule=self.gam,
+        self.d_tx = make_gan_optimizer(
+            cfg.disc_lr, gamma=cfg.lr_gamma, weight_decay=cfg.weight_decay,
+            grad_accum=self.gam,
         )
         self._steps = {
             False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
@@ -525,9 +525,10 @@ class XVAPitchTrainer:
                 self.deltas[si].append((hist[-1] - avg_disc) / hist[-1])
                 window = self.deltas[si][-10:]
                 loss_delta = float(np.mean(window))
-                self.graphs.add_delta(
-                    self.stage, self.training_iters, round(loss_delta * 100, 3)
-                )
+                # raw units — the chart's target_delta line is raw, and the
+                # early stop compares raw (a *100 here put the two series
+                # off by 100x in the UI)
+                self.graphs.add_delta(self.stage, self.training_iters, loss_delta)
             hist.append(avg_disc)
 
         if loss_delta and loss_delta < self.target_deltas[si]:
