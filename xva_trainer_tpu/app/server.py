@@ -15,6 +15,7 @@ shared state unsynchronized); the task runner is a single-owner state machine.
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import logging
 import os
@@ -23,11 +24,15 @@ from logging.handlers import RotatingFileHandler
 from typing import Any, Dict, Optional
 
 
-def _ui_html() -> str:
-    """The single-page UI (SURVEY §1 L1 parity surface) served at '/'."""
+def _ui_html(ws_port: int = 8001) -> str:
+    """The single-page UI (SURVEY §1 L1 parity surface) served at '/'.
+
+    The page's ws port is substituted at serve time so --ws-port / ports.txt
+    overrides reach the browser."""
     p = os.path.join(os.path.dirname(__file__), "ui.html")
     with open(p, encoding="utf8") as f:
-        return f.read()
+        return f.read().replace("const wsPort = 8001;",
+                                f"const wsPort = {int(ws_port)};")
 
 
 def make_logger(path: str = "server.log") -> logging.Logger:
@@ -87,6 +92,17 @@ class TrainingSession:
 
     async def start(self, data: Dict, websocket, resume: bool = False):
         if self.running():
+            # a start while training queues the dataset (reference queue
+            # semantics, train.js:258) instead of silently dropping it
+            if isinstance(data, dict) and data.get("dataset_path"):
+                self.queue.append(data)
+                self.save_queue()
+                if websocket:
+                    await websocket.send(json.dumps({
+                        "key": "task_info",
+                        "data": f"queued ({len(self.queue)} total): "
+                                f"{data['dataset_path']}",
+                    }))
             return
         if resume and not data and self.load_queue():
             pass  # continue the persisted queue
@@ -228,22 +244,28 @@ class TrainingSession:
             model_cfg = XVAPitchConfig(**mc)
         from ..parallel.mesh import make_mesh_for_batch
 
-        self.trainer = XVAPitchTrainer(batcher, cfg, model_cfg,
-                                       mesh=make_mesh_for_batch(bs),
-                                       priors_batcher=priors_batcher)
+        self._attach_trainer(XVAPitchTrainer(batcher, cfg, model_cfg,
+                                             mesh=make_mesh_for_batch(bs),
+                                             priors_batcher=priors_batcher))
         ckpt = data.get("checkpoint")
         pretrained = ckpt if (ckpt and ckpt != "[base]"
                               and str(ckpt).endswith(".pt")) else (
             os.environ.get("XVA_BASE_V3_CKPT")
         )
-        self.trainer.setup(resume=True, pretrained_ckpt=pretrained)
+        # setup traces/loads for minutes; export writes the full fp16 tree —
+        # keep the event loop (ws pause/stop, http polls) responsive
+        await asyncio.to_thread(self.trainer.setup, True, pretrained)
         await asyncio.to_thread(
             self.trainer.train, data.get("max_steps")
         )
         voice = os.path.basename(dataset_path.rstrip("/"))
-        self.trainer.export(voice, lang=lang, base_emb=emb["main"],
-                            other_embs=emb["others"].tolist(),
-                            lang_capabilities=sorted(set([lang] + priors_langs)))
+        await asyncio.to_thread(
+            functools.partial(
+                self.trainer.export, voice, lang=lang, base_emb=emb["main"],
+                other_embs=emb["others"].tolist(),
+                lang_capabilities=sorted(set([lang] + priors_langs)),
+            )
+        )
 
     async def _run_v2(self, data: Dict, websocket):
         from ..train.pipeline import PipelineConfig, train_v2_pipeline
@@ -257,14 +279,25 @@ class TrainingSession:
             use_amp=str(data.get("use_amp", "true")).lower()
             in ("1", "true", "yes", "on"),
         )
-        await asyncio.to_thread(train_v2_pipeline, cfg)
+        await asyncio.to_thread(
+            functools.partial(train_v2_pipeline, cfg,
+                              on_trainer=self._attach_trainer)
+        )
 
     def pause(self):
         """Warm pause: the trainer thread idles with compiled state resident
-        — resume needs no re-jit (unlike stop/start)."""
+        — resume needs no re-jit (unlike stop/start). A pause before the
+        trainer object exists (preprocess/cache-build phase) is remembered
+        and applied when it is constructed (_attach_trainer)."""
+        self.paused = True
         if self.trainer is not None:
             self.trainer.paused = True
-            self.paused = True
+
+    def _attach_trainer(self, trainer):
+        """Register the live trainer, applying any pre-construction pause."""
+        self.trainer = trainer
+        if self.paused:
+            trainer.paused = True
 
     def resume(self):
         if self.trainer is not None:
@@ -278,6 +311,7 @@ class TrainingSession:
         if self.task:
             self.task.cancel()
         self.trainer = None
+        self.paused = False
 
 
 class AppServer:
@@ -412,25 +446,28 @@ class AppServer:
     def _dataset_info(self, dataset_path: str) -> Dict:
         """Dataset explorer payload: per-record transcript + duration + the
         duplicate-name check (reference javascript/script.js:243-316)."""
-        from ..data.dataset import read_metadata
-
         wav_dir = os.path.join(dataset_path, "wavs")
         items = []
         seen = set()
         dupes = []
-        try:
-            metas = read_metadata(dataset_path)
-        except Exception:
-            metas = []
-        for it in metas:
-            name = os.path.basename(it.wav_path)
+        meta = os.path.join(dataset_path, "metadata.csv")
+        rows = []
+        if os.path.exists(meta):
+            with open(meta, encoding="utf8") as f:
+                rows = [ln for ln in f.read().split("\n") if ln.strip()]
+        # parse raw rows (read_metadata drops rows whose wav is missing —
+        # the explorer must SHOW those as exists:false, script.js:243-316)
+        for line in rows:
+            parts = line.split("|")
+            stem = os.path.splitext(parts[0])[0]
+            name = stem + ".wav"
             if name in seen:
                 dupes.append(name)
             seen.add(name)
             items.append({
                 "name": name,
-                "text": it.text,
-                "exists": os.path.exists(it.wav_path),
+                "text": parts[1] if len(parts) > 1 else "",
+                "exists": os.path.exists(os.path.join(wav_dir, name)),
             })
         extra = []
         if os.path.isdir(wav_dir):
@@ -453,6 +490,9 @@ class AppServer:
         sr, data = wavfile.read(io.BytesIO(wav_bytes))
         if data.dtype.kind == "i":
             y = data.astype(np.float32) / np.iinfo(data.dtype).max
+        elif data.dtype.kind == "u":  # 8-bit PCM is unsigned with +128 offset
+            info = np.iinfo(data.dtype)
+            y = (data.astype(np.float32) - (info.max + 1) / 2) / ((info.max + 1) / 2)
         else:
             y = data.astype(np.float32)
         if y.ndim > 1:
@@ -478,9 +518,12 @@ class AppServer:
                 for line in f.read().split("\n"):
                     if not line.strip():
                         continue
-                    k = line.split("|")[0]
+                    parts = line.split("|")
+                    k = parts[0]
                     if k == name or k == os.path.splitext(name)[0]:
-                        rows.append(f"{k}|{text}")
+                        # keep any extra columns (LJSpeech-style 3rd field)
+                        tail = "|" + "|".join(parts[2:]) if len(parts) > 2 else ""
+                        rows.append(f"{k}|{text}{tail}")
                         found = True
                     else:
                         rows.append(line)
@@ -501,12 +544,43 @@ class AppServer:
         ckpt = body["xvap_ckpt"]
         out_path = body["out_path"]
         text = body.get("text", "This is what my voice sounds like.")
+        emb = body.get("emb")
+        if emb is None:
+            emb = self._resolve_voice_emb(ckpt)
         wav = await asyncio.to_thread(
-            self._synthesize_v3, ckpt, body.get("emb"), text
+            self._synthesize_v3, ckpt, emb, text, body.get("lang", "en")
         )
         wav = normalize_ebu_r128(wav, 22050)
         save_wav(out_path, wav)
         return {"ok": True, "path": out_path}
+
+    @staticmethod
+    def _resolve_voice_emb(ckpt_path: str):
+        """Find the voice's speaker embedding when the caller sends none:
+        the exported voice's metadata JSON (games[].base_speaker_emb,
+        reference xva_train.py:1004-1022) or the dataset/output emb.txt."""
+        import numpy as np
+
+        candidates = []
+        if ckpt_path.endswith(".pt"):
+            candidates.append(os.path.splitext(ckpt_path)[0] + ".json")
+            candidates.append(os.path.join(os.path.dirname(ckpt_path), "emb.txt"))
+        elif os.path.isdir(ckpt_path):
+            candidates.append(os.path.join(ckpt_path, "emb.txt"))
+        for p in candidates:
+            try:
+                if p.endswith(".json") and os.path.exists(p):
+                    with open(p, encoding="utf8") as f:
+                        meta = json.load(f)
+                    games = meta.get("games") or []
+                    if games and games[0].get("base_speaker_emb"):
+                        return np.asarray(games[0]["base_speaker_emb"],
+                                          np.float32)
+                elif os.path.exists(p):
+                    return np.loadtxt(p, delimiter=",").astype(np.float32)
+            except Exception:
+                continue
+        return None
 
     def _synthesize_v3(self, ckpt_path: str, emb, text: str, lang: str = "en"):
         """Synthesize a preview from a restored checkpoint. ``ckpt_path`` is
@@ -588,8 +662,8 @@ class AppServer:
     # ---------------- runners ----------------
 
     async def serve(self):
+        """ws-only server (the full ws+http stack is serve_with_http)."""
         import websockets
-        from aiohttp import web  # optional; fallback to http.server below
 
         ws_server = await websockets.serve(
             self.websocket_handler, "localhost", self.ws_port
@@ -624,7 +698,7 @@ class AppServer:
 
             def _handle(self):
                 if self.command == "GET" and self.path in ("/", "/ui", "/index.html"):
-                    page = _ui_html().encode("utf8")
+                    page = _ui_html(app.ws_port).encode("utf8")
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html; charset=utf-8")
                     self.send_header("Content-Length", str(len(page)))

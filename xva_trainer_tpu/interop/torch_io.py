@@ -85,7 +85,19 @@ class _Unpickler(pickle.Unpickler):
         if (module, name) == ("collections", "OrderedDict"):
             return OrderedDict
         if module.startswith("torch"):
-            # dtype markers etc. — opaque placeholders
+            if name.startswith("_rebuild"):
+                # an unsupported tensor-rebuild path (legacy/sparse/quantized)
+                # must fail loudly here, not as a None leaf deep in import
+                def _unsupported(*a, _n=name, **k):
+                    raise pickle.UnpicklingError(
+                        f"unsupported torch rebuild function {_n!r} — this "
+                        f"checkpoint format is not handled by the torch-free "
+                        f"reader"
+                    )
+
+                return _unsupported
+            # dtype markers etc. — opaque placeholders, never invoked with
+            # meaning
             return lambda *a, **k: None
         return super().find_class(module, name)
 

@@ -65,21 +65,27 @@ def train_v2_pipeline(
     mesh=None,
     max_iters: Optional[int] = None,
     _attempt: int = 0,
+    on_trainer=None,
 ) -> Dict:
     """The reference's stage 1→5 schedule as one call, with the OOM
     batch-size retreat (reference handleTrainer:131-145: on device OOM, drop
-    batch_size by 3 and restart from the last checkpoint)."""
+    batch_size by 3 and restart from the last checkpoint).
+
+    on_trainer(trainer) is called as each stage's trainer comes alive, so a
+    server session can reach pause/stop flags mid-pipeline."""
     try:
-        return _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters)
+        return _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
+                                  on_trainer)
     except Exception as e:
         if _is_oom(e) and cfg.batch_size > 3 and _attempt < 8:
             cfg = dataclasses.replace(cfg, batch_size=cfg.batch_size - 3)
             return train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh,
-                                     max_iters, _attempt + 1)
+                                     max_iters, _attempt + 1, on_trainer)
         raise
 
 
-def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
+def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
+                       on_trainer=None) -> Dict:
     logger = TrainingLogger(cfg.output_path)
     tp = TextProcessor()
     cache = FeatureCache(cfg.dataset_path, tp.encode)
@@ -102,6 +108,8 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
         use_amp=cfg.use_amp,
     )
     fp = FastPitchTrainer(cache, fp_cfg, model_cfg, mesh=mesh, logger=logger)
+    if on_trainer:
+        on_trainer(fp)
 
     # ARPAbet p=0.3 training mix when a CMUdict is available
     # (reference xva_train.py:307)
@@ -134,6 +142,8 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters) -> Dict:
         use_amp=cfg.use_amp,
     )
     hifi = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh, logger=logger)
+    if on_trainer:
+        on_trainer(hifi)
     hifi.setup()
     hifi_result = hifi.train(max_epochs=cfg.max_hifi_epochs, max_iters=max_iters)
     hg_path = hifi.export(cfg.voice_name, cfg.output_path)
