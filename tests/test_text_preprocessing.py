@@ -118,3 +118,27 @@ def test_factory_caches():
     a = get_text_preprocessor("en", REF_TEXT_DIR)
     b = get_text_preprocessor("en", REF_TEXT_DIR)
     assert a is b
+
+
+def test_chinese_pinyin_pipeline(tmp_path):
+    """zh text tokenizes through the g2pC pinyin cache: phrase and
+    per-character lookups, CJK punctuation normalization, pinyin initials
+    split to vocab symbols (reference ChineseTextPreprocessor :1099-1155)."""
+    import os
+
+    from xva_trainer_tpu.data.text.preprocessing import (
+        get_text_preprocessor, pinyin_symbols, split_pinyin)
+
+    assert split_pinyin("zhang1") == ["ZH", "ANG1"]
+    assert split_pinyin("e4") == ["E4"]
+    assert pinyin_symbols("ni3 hao3") == ["N", "I3", "H", "AO3"]
+
+    os.makedirs(tmp_path / "g2p_cache")
+    (tmp_path / "g2p_cache" / "g2pc_cache_zh.txt").write_text(
+        "你好|ni3 hao3\n世界|shi4 jie4\n", encoding="utf8")
+    tp = get_text_preprocessor("zh", str(tmp_path))
+    seq, cleaned = tp.text_to_sequence("你好，世界。")
+    assert seq, "zh must not produce an empty sequence"
+    symbols = [s for s in cleaned.split("|") if s != "<PAD>"]
+    # phrase miss falls back to per-character cache lookups; H maps to HH
+    assert symbols == ["N", "I3", "HH", "AO3", ",", "SH", "I4", "ZH", "IE4", "."]

@@ -646,18 +646,10 @@ class AppServer:
         return np.asarray(out["wav"][0][:n])
 
     def _text_to_ids(self, text: str, lang: str = "en"):
-        """Prefer the full multilingual preprocessor when its language assets
-        are available (XVA_TEXT_DIR or packaged path); fall back to the
-        self-contained rule G2P."""
-        base_dir = os.environ.get("XVA_TEXT_DIR")
-        if base_dir and os.path.isdir(base_dir):
-            from ..data.text.preprocessing import get_text_preprocessor
+        """One tokenizer for train AND inference (data/text.v3_text_to_ids)."""
+        from ..data.text import v3_text_to_ids
 
-            seq, _ = get_text_preprocessor(lang, base_dir).text_to_sequence(text)
-            return seq
-        from ..data.text.xva_processor import XvaTextProcessor
-
-        return XvaTextProcessor().text_to_sequence(text)
+        return v3_text_to_ids(lang)(text)
 
     # ---------------- runners ----------------
 

@@ -18,11 +18,12 @@ import sys
 
 
 def cmd_train_v3(args):
-    from .data.text.xva_processor import get_text_preprocessor
+    from .data.text import v3_text_to_ids
     from .data.xva_dataset import XvaBatcher, XvaFeatureCache, get_dataset_embedding
     from .train.xvapitch_trainer import XVAPitchTrainer, XvaTrainConfig
 
-    tp = get_text_preprocessor(args.lang, args.output)
+    # same tokenizer the server / cli tts use — train and inference must agree
+    tp = v3_text_to_ids(args.lang)
     cache = XvaFeatureCache(args.dataset, tp, lang=args.lang)
     print("building feature cache...")
     cache.build(progress=lambda d, t: print(f"\r{d}/{t}", end=""))
@@ -70,7 +71,9 @@ def cmd_tool(args):
     data = {"inPath": args.inp, "outputDirectory": args.out}
     if args.settings:
         data["toolSettings"] = json.loads(args.settings)
-    asyncio.run(tool.runTask(data))
+    # run() (not runTask()) so failures PROPAGATE — runTask reports errors
+    # to a websocket we don't have and would exit 0 on failure
+    asyncio.run(tool.run(data))
     print("done")
 
 

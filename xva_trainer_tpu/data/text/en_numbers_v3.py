@@ -38,21 +38,28 @@ def _below_100(n: int) -> str:
     return _TENS[t] + (f"-{_UNITS[u]}" if u else "")
 
 
-def _below_1000(n: int) -> str:
+def _below_1000(n: int, andword: str = "") -> str:
     h, r = divmod(n, 100)
     parts = []
     if h:
         parts.append(f"{_UNITS[h]} hundred")
     if r:
+        # inflect default inserts "and" between hundreds and the remainder
+        if h and andword:
+            parts.append(andword)
         parts.append(_below_100(r))
     return " ".join(parts) if parts else "zero"
 
 
-def number_to_words(n, zero: str = "zero", group: int = 0) -> str:
-    """inflect.number_to_words(n, andword='') equivalent for cardinals."""
+def number_to_words(n, zero: str = "zero", group: int = 0,
+                    andword: str = "") -> str:
+    """inflect.number_to_words equivalent for cardinals. andword='' matches
+    the reference's cardinal path (_expand_number, en_numbers.py:105);
+    andword='and' matches inflect's default used by the ordinal path."""
     n = int(str(n).replace(",", "").strip())
     if n < 0:
-        return "minus " + number_to_words(-n, zero=zero, group=group)
+        return "minus " + number_to_words(-n, zero=zero, group=group,
+                                          andword=andword)
     if group == 2:
         digits = str(n)
         if len(digits) % 2:
@@ -72,17 +79,26 @@ def number_to_words(n, zero: str = "zero", group: int = 0) -> str:
         return zero
     groups = []
     scale = 0
+    last_is_sub100 = False
     while n > 0:
-        n, r = divmod(n, 1000) if False else (n // 1000, n % 1000)
+        n, r = n // 1000, n % 1000
         if r:
             name = _SCALE_NAMES[scale]
-            groups.append(_below_1000(r) + (f" {name}" if name else ""))
+            if scale == 0:
+                last_is_sub100 = r < 100
+            groups.append(_below_1000(r, andword) + (f" {name}" if name else ""))
         scale += 1
-    return ", ".join(reversed(groups))
+    groups = list(reversed(groups))
+    if andword and last_is_sub100 and len(groups) > 1:
+        # inflect: "one thousand and five" (no comma before a final <100)
+        return ", ".join(groups[:-1]) + f" {andword} " + groups[-1]
+    return ", ".join(groups)
 
 
 def ordinal_words(n: int) -> str:
-    words = number_to_words(n)
+    # the reference ordinal path goes through inflect's DEFAULT andword
+    # ("one hundred and first") — en_numbers.py:91-92
+    words = number_to_words(n, andword="and")
     # ordinalize the final word (after the last space or hyphen)
     m = re.search(r"([a-z]+)$", words)
     last = m.group(1)

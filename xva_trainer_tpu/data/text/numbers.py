@@ -110,7 +110,7 @@ def _expand_decimal(m):
 def normalize_numbers(text: str) -> str:
     text = _comma_re.sub(lambda m: m.group(1).replace(",", ""), text)
     text = _dollars_re.sub(_expand_dollars, text)
-    text = _pounds_re.sub(lambda m: _expand_dollars(m).replace("dollar", "pound").replace("cent", "penny"), text)
+    text = _pounds_re.sub(lambda m: _expand_dollars(m).replace("dollar", "pound"), text)
     text = _decimal_re.sub(_expand_decimal, text)
     text = _ordinal_re.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
     text = _year_re.sub(lambda m: year_to_words(int(m.group(1))), text)

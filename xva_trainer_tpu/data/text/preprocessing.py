@@ -133,8 +133,46 @@ LANGS: Dict[str, Dict] = {
     "wo": dict(name="Wolof", dicts=[], cache="g2p_cache_wo.txt", wolof=True),
     "yo": dict(name="Yoruba", dicts=["yoruba.txt"],
                cache="epitran/epitran_cache_yo.txt"),
-    "zh": dict(name="Chinese", dicts=[], cache="g2pc_cache_zh.txt"),
+    "zh": dict(name="Chinese", dicts=[], cache="g2pc_cache_zh.txt",
+               pinyin=True),
 }
+
+
+# pinyin initials (reference ChineseTextPreprocessor.split_pinyin :1115-1130)
+_PINYIN_INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l",
+                    "g", "k", "h", "z", "c", "s", "r", "j", "q", "x"]
+
+# pinyin initials that are not themselves vocab symbols map to ARPAbet
+# (reference pinyin_to_arpabet_mappings, ipa_to_xvaarpabet.py:105-112)
+PINYIN_TO_ARPABET = {"C": "TS", "E": "EH0", "H": "HH", "J": "ZH", "Q": "K",
+                     "X": "S"}
+
+_CJK_PUNCT = {"\u3002": ".", "\uff0c": ",", "\uff01": "!", "\uff1f": "?",
+              "\uff1a": ":", "\uff1b": ";", "\u3001": ",", "\u201c": '"',
+              "\u201d": '"', "\uff08": "(", "\uff09": ")"}
+
+
+def split_pinyin(pinyin: str) -> list:
+    """'zhang1' → ['ZH', 'ANG1'] (reference split_pinyin :1115-1130)."""
+    pinyin = pinyin.lower()
+    out = []
+    for ss in _PINYIN_INITIALS:
+        if pinyin.startswith(ss):
+            out.append(ss.upper())
+            pinyin = pinyin[len(ss):]
+            break
+    out.append(pinyin.upper())
+    return out
+
+
+def pinyin_symbols(g2p_out: str) -> list:
+    """Cached g2pC pinyin ('ni3 hao3') → vocab symbols ['N','I3','H','AO3']
+    (reference post_process_pinyin_symbs :1133-1155)."""
+    out = []
+    for symb in g2p_out.split(" "):
+        if symb:
+            out.extend(split_pinyin(symb))
+    return out
 
 
 def _ascii_translit(text: str) -> str:
@@ -154,47 +192,56 @@ def _ascii_translit(text: str) -> str:
 
 
 def wolof_g2p(word: str) -> str:
-    """Rule-based Wolof orthography → IPA (reference WolofTextPreprocessor
-    custom_g2p_fn :1025-1087 — standard Wolof orthography correspondences)."""
-    word = word.lower().replace("à", "a").replace("ó", "o")
+    """Rule-based Wolof orthography → IPA — an EXACT mirror of the reference
+    WolofTextPreprocessor.custom_g2p_fn (:1025-1087), including its quirks:
+    the (?!:) lookaheads use an ASCII colon, so they also rewrite the vowel
+    inside 'aː'/'eː' (aː→ɐː etc.), and the final lossy folds turn ŋ→n."""
+    word = word.lower()
+    # lossy
+    word = word.replace("à", "a").replace("ó", "o")
     word = word.replace("aa", "aː")
-    word = re.sub("a(?!ː)", "ɐ", word)
+    word = re.sub("a(?!:)", "ɐ", word)
     word = word.replace("bb", "bː")
     word = word.replace("cc", "cːʰ")
     word = word.replace("dd", "dː")
     word = word.replace("ee", "ɛː")
     word = word.replace("ée", "eː")
     word = word.replace("ëe", "əː")
-    word = re.sub("e(?!ː)", "ɛ", word)
-    word = re.sub("ë(?!ː)", "ə", word)
+    word = re.sub("e(?!:)", "ɛ", word)
+    word = re.sub("ë(?!:)", "ə", word)
     word = word.replace("gg", "gː")
     word = word.replace("ii", "iː")
     word = word.replace("jj", "ɟːʰ")
-    word = re.sub("j(?!ː)", "ɟ", word)
+    word = re.sub("j(?!:)", "ɟ", word)
     word = word.replace("kk", "kːʰ")
     word = word.replace("ll", "ɫː")
     word = word.replace("mb", "m̩b")
     word = word.replace("mm", "mː")
     word = word.replace("nc", "ɲc")
     word = word.replace("nd", "n̩d")
-    word = word.replace("ng", "ŋ")
+    word = word.replace("ng", "ŋ̩g")
     word = word.replace("nj", "ɲɟ")
     word = word.replace("nk", "ŋ̩k")
     word = word.replace("nn", "nː")
-    word = word.replace("ñ", "ɲ")
+    word = word.replace("nq", "ɴq")
+    word = word.replace("nt", "n̩t")
+    word = word.replace("ññ", "ɲː")
     word = word.replace("ŋŋ", "ŋː")
-    word = word.replace("oo", "ɔː")
-    word = word.replace("óo", "oː")
-    word = re.sub("o(?!ː)", "ɔ", word)
+    word = re.sub("ñ(?!:)", "ɲ", word)
+    word = word.replace("oo", "oː")
+    word = word.replace("o", "ɔ")
     word = word.replace("pp", "pːʰ")
-    word = word.replace("q", "qː")
     word = word.replace("rr", "rː")
     word = word.replace("tt", "tːʰ")
     word = word.replace("uu", "uː")
     word = word.replace("ww", "wː")
     word = word.replace("yy", "jː")
     word = word.replace("y", "j")
-    word = word.replace("x", "χ")
+    # lossy
+    word = word.replace("é", "e")
+    word = word.replace("ë", "e")
+    word = word.replace("ñ", "n")
+    word = word.replace("ŋ", "n")
     return word
 
 
@@ -317,7 +364,9 @@ class XvaTextPreprocessor:
             for word, entry in data.get("data", {}).items():
                 if entry.get("enabled"):
                     pron[word.lower()] = entry["arpabet"].upper()
-        if self.spec.get("remap_cmu") and not is_custom:
+        # post_process_dict applies to custom dicts too (reference
+        # load_dict:150-158 remaps every dict it loads)
+        if self.spec.get("remap_cmu"):
             for word, phones in pron.items():
                 for k, v in CMU_ARPABET_REMAP.items():
                     # twice: adjacent replacements share the space separator
@@ -455,6 +504,19 @@ class XvaTextPreprocessor:
                     if not sp:
                         continue
                     cached = self.g2p_cache.get(sp.lower())
+                    if self.spec.get("pinyin"):
+                        # zh: cache values are PINYIN (g2pC output), and a
+                        # whole-phrase miss falls back to per-character
+                        # lookups (han text has no space segmentation)
+                        if cached is not None:
+                            sub_phonemes.append(" ".join(pinyin_symbols(cached)))
+                        else:
+                            for ch in sp:
+                                c = self.g2p_cache.get(ch.lower())
+                                if c is not None:
+                                    sub_phonemes.append(
+                                        " ".join(pinyin_symbols(c)))
+                        continue
                     if cached is not None:
                         sub_phonemes.append(" ".join(ipa_to_xvaarpabet(cached)))
                     elif self.g2p_backend is not None:
@@ -539,6 +601,9 @@ class XvaTextPreprocessor:
     def text_to_sequence(self, text: str) -> Tuple[List[int], str]:
         if self.spec.get("translit"):
             text = _ascii_translit(text)
+        if self.spec.get("pinyin"):
+            for k, v in _CJK_PUNCT.items():
+                text = text.replace(k, v)
         # separate braces from punctuation (reference :482-499)
         for p in [".", "!", "?", ",", '"', "'", "-", ")"]:
             text = text.replace("}" + p, "} " + p)
@@ -555,6 +620,12 @@ class XvaTextPreprocessor:
             if phone == "#":  # g2p comment marker — cut the rest
                 break
             if phone.strip():
+                if phone not in self.symbols and phone in PINYIN_TO_ARPABET:
+                    # single-letter pinyin initials map to ARPAbet (reference
+                    # pinyin_to_arpabet_mappings, ipa_to_xvaarpabet.py:105)
+                    for sub in PINYIN_TO_ARPABET[phone].split(" "):
+                        sequence.append(self.symbols.index(sub))
+                    continue
                 sequence.append(self.symbols.index(phone))
         if self.add_blank:
             blank = len(self.symbols) - 2  # <PAD>

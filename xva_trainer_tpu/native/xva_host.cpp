@@ -39,7 +39,7 @@ int xva_decode_wav(const char* path, float** out, int* n_samples, int* sample_ra
         fclose(f);
         return 2;
     }
-    uint16_t fmt = 0, channels = 0, bits = 0;
+    uint16_t fmt = 0, channels = 0, bits = 0, sub_fmt = 0;
     uint32_t sr = 0;
     long data_pos = -1;
     uint32_t data_size = 0;
@@ -54,7 +54,8 @@ int xva_decode_wav(const char* path, float** out, int* n_samples, int* sample_ra
             fmt = buf[0] | (buf[1] << 8);
             channels = buf[2] | (buf[3] << 8);
             sr = buf[4] | (buf[5] << 8) | (buf[6] << 16) | ((uint32_t)buf[7] << 24);
-            bits = buf[14] | (buf[15] << 8);
+            if (size >= 16) bits = buf[14] | (buf[15] << 8);
+            if (size >= 26) sub_fmt = buf[24] | (buf[25] << 8);
         } else if (!memcmp(id, "data", 4)) {
             data_pos = ftell(f);
             data_size = size;
@@ -63,10 +64,16 @@ int xva_decode_wav(const char* path, float** out, int* n_samples, int* sample_ra
             fseek(f, (size + 1) & ~1u, SEEK_CUR);
         }
     }
-    if (data_pos < 0 || !channels || !sr) { fclose(f); return 3; }
-    if (fmt == 0xFFFE) fmt = 1;  // extensible: assume PCM layout from bits
+    // truncated/garbage fmt chunks must fail cleanly, not SIGFPE below
+    if (data_pos < 0 || !channels || !sr || bits < 8 || bits > 64 ||
+        (bits % 8) != 0) { fclose(f); return 3; }
+    if (fmt == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes of the SubFormat GUID at offset 24 of the fmt chunk
+        fmt = sub_fmt ? sub_fmt : 1;
+    }
     int bytes_per = bits / 8;
-    size_t frames = data_size / (bytes_per * channels);
+    size_t frames = data_size / (size_t)(bytes_per * channels);
     std::vector<uint8_t> raw(data_size);
     fseek(f, data_pos, SEEK_SET);
     if (fread(raw.data(), 1, data_size, f) != data_size) { fclose(f); return 4; }
@@ -213,7 +220,9 @@ int xva_yin(const float* y_in, int n, int sr, int frame_length, int hop,
 // Writes up to max_regions (start, end) sample pairs; returns count.
 int xva_find_silences(const float* y, int n, int sr, float threshold_db,
                       float min_s, int frame, int* regions, int max_regions) {
-    int n_frames = std::max(1, n / frame);
+    // audio shorter than one frame has no full frames — max(1, ...) here
+    // would read past the end of y in the RMS loop below
+    int n_frames = n / frame;
     int count = 0, start = -1;
     int min_frames = (int)(min_s * sr / frame);
     for (int i = 0; i <= n_frames; i++) {

@@ -31,6 +31,27 @@ def _coerce(value: Any, target_type) -> Any:
     return value
 
 
+def _field_types(cfg) -> Dict[str, type]:
+    """Resolve declared field types to real classes. Under PEP 563
+    (``from __future__ import annotations``) dataclasses.fields().type is a
+    STRING, so get_type_hints is required; Optional[X] resolves to X."""
+    import typing
+
+    out: Dict[str, type] = {}
+    try:
+        hints = typing.get_type_hints(type(cfg))
+    except Exception:
+        hints = {}
+    for name, hint in hints.items():
+        if isinstance(hint, type):
+            out[name] = hint
+            continue
+        args = [a for a in typing.get_args(hint) if a is not type(None)]
+        if len(args) == 1 and isinstance(args[0], type):
+            out[name] = args[0]  # Optional[X] → X
+    return out
+
+
 def overlay(cfg: T, *layers: Optional[Dict[str, Any]]) -> Tuple[T, List[str]]:
     """Apply overlay dicts onto a dataclass instance (later layers win).
 
@@ -38,6 +59,7 @@ def overlay(cfg: T, *layers: Optional[Dict[str, Any]]) -> Tuple[T, List[str]]:
     if not dataclasses.is_dataclass(cfg):
         raise TypeError(f"{type(cfg)} is not a dataclass")
     fields = {f.name: f for f in dataclasses.fields(cfg)}
+    types = _field_types(cfg)
     values: Dict[str, Any] = {}
     unknown: List[str] = []
     for layer in layers:
@@ -45,9 +67,10 @@ def overlay(cfg: T, *layers: Optional[Dict[str, Any]]) -> Tuple[T, List[str]]:
             continue
         for k, v in layer.items():
             if k in fields:
-                values[k] = _coerce(v, fields[k].type
-                                    if isinstance(fields[k].type, type)
-                                    else type(getattr(cfg, k)))
+                tt = types.get(k)
+                if tt is None and getattr(cfg, k) is not None:
+                    tt = type(getattr(cfg, k))
+                values[k] = _coerce(v, tt)
             else:
                 unknown.append(k)
     return dataclasses.replace(cfg, **values), unknown
