@@ -65,3 +65,19 @@ def test_mas_matches_oracle_paths_exactly():
     for b in range(B):
         ref = _oracle(value[b], TX, TY)
         np.testing.assert_array_equal(out[b], ref)
+
+
+def test_extreme_magnitude_inputs():
+    """Cumulative log-likelihoods beyond -1e9 (divergent-training scale) must
+    still yield a valid monotonic path — a finite sentinel degenerates here."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from xva_trainer_tpu.ops.mas import maximum_path
+
+    B, tx, ty = 2, 12, 900
+    rng = np.random.default_rng(0)
+    v = jnp.asarray((rng.standard_normal((B, tx, ty)) * 3e6 - 2e6)
+                    .astype(np.float32))
+    p = np.asarray(maximum_path(v, jnp.ones((B, tx, ty))))
+    assert (p.sum(axis=1) == 1).all()

@@ -113,16 +113,38 @@ class SpeechEnhancer:
         self._enhance = _enhance
 
     def enhance(self, y: np.ndarray) -> np.ndarray:
+        """Chunked enhancement with overlap-add crossfade: the mask and the
+        per-chunk STFT boundary conditions change at every seam, so butting
+        independent chunks together clicks — linear crossfade over `ov`
+        samples removes the discontinuity."""
         n = self.chunk
-        outs = []
-        for s in range(0, max(len(y), 1), n):
+        ov = min(4096, n // 4)
+        hopn = n - ov
+        total = max(len(y), 1)
+        acc = np.zeros(total + n, np.float64)
+        wsum = np.zeros(total + n, np.float64)
+        ramp = np.linspace(0.0, 1.0, ov, endpoint=False)
+        win = np.ones(n)
+        win[:ov] = ramp
+        win[-ov:] = ramp[::-1]
+        s = 0
+        while s < total:
             seg = y[s:s + n]
             orig = len(seg)
             if orig < n:
                 seg = np.pad(seg, (0, n - orig))
             out = np.asarray(self._enhance(self.params, jnp.asarray(seg)))
-            outs.append(out[:orig])
-        return np.concatenate(outs)[: len(y)]
+            w = win.copy()
+            if s == 0:
+                w[:ov] = 1.0  # no fade-in at the very start
+            if s + n >= total:
+                w[-ov:] = 1.0  # no fade-out at the very end
+            acc[s:s + n] += out * w
+            wsum[s:s + n] += w
+            s += hopn
+        return (acc[: len(y)] / np.maximum(wsum[: len(y)], 1e-8)).astype(
+            np.float32
+        )
 
 
 def si_sdr(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

@@ -49,7 +49,9 @@ def spk_mel_spectrogram(y: jnp.ndarray) -> jnp.ndarray:
     T = y.shape[-1]
     num_frames = 1 + T // HOP
     y = jnp.pad(y, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
-    need = (num_frames + (N_FFT // HOP) - 1) * HOP
+    # exact framing requirement: HOP does not divide N_FFT (512/160), so the
+    # quotient form under-counts by N_FFT % HOP samples
+    need = (num_frames - 1) * HOP + N_FFT
     if y.shape[-1] < need:
         y = jnp.pad(y, ((0, 0), (0, need - y.shape[-1])))
     frames = frame_signal(y, N_FFT, HOP, num_frames)

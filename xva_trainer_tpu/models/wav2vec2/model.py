@@ -124,6 +124,11 @@ def ctc_greedy_decode(logits: np.ndarray, id_to_char: dict,
     for i in ids:
         if i != prev and i != blank_id:
             ch = id_to_char.get(int(i), "")
+            # HF decode strips special tokens (<unk>/<s>/</s>/<pad>) —
+            # emitting them literally puts bracket junk in transcripts
+            if ch.startswith("<") and ch.endswith(">"):
+                prev = i
+                continue
             out.append(" " if ch == word_delim else ch)
         prev = i
     return "".join(out).strip()

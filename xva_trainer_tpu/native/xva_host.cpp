@@ -271,9 +271,10 @@ static void biquad_coeffs_hp(double fs, double* b, double* a) {
     const double Q = 0.5003270373238773;
     double K = std::tan(M_PI * f0 / fs);
     double denom = 1.0 + K / Q + K * K;
-    b[0] = 1.0 / denom;
-    b[1] = -2.0 / denom;
-    b[2] = 1.0 / denom;
+    // BS.1770-4: b = [1, -2, 1] unnormalized (only a divides by a0)
+    b[0] = 1.0;
+    b[1] = -2.0;
+    b[2] = 1.0;
     a[0] = 1.0;
     a[1] = 2.0 * (K * K - 1.0) / denom;
     a[2] = (1.0 - K / Q + K * K) / denom;

@@ -36,7 +36,10 @@ def _k_weighting_coeffs(fs: float):
     Q = 0.5003270373238773
     K = np.tan(np.pi * f0 / fs)
     denom = 1.0 + K / Q + K * K
-    b_hp = np.array([1.0, -2.0, 1.0]) / denom
+    # BS.1770-4 specifies b = [1, -2, 1] UNNORMALIZED (only a is divided by
+    # a0): normalizing b too scales the filter by ~-0.043 dB and biases
+    # every loudness reading low vs compliant meters
+    b_hp = np.array([1.0, -2.0, 1.0])
     a_hp = np.array(
         [1.0, 2.0 * (K * K - 1.0) / denom, (1.0 - K / Q + K * K) / denom]
     )
@@ -96,7 +99,11 @@ def loudness_range(y: np.ndarray, fs: int) -> float:
     st = st[st > -70.0]
     if len(st) == 0:
         return 0.0
-    rel = st[st > st.mean() - 20.0]
+    # relative gate at (POWER-mean loudness) - 20 LU (EBU Tech 3342): a
+    # dB-domain arithmetic mean sits below the power mean and over-admits
+    # quiet blocks, inflating LRA for speech with pauses
+    power_mean = 10.0 * np.log10(np.mean(10.0 ** (st / 10.0)))
+    rel = st[st > power_mean - 20.0]
     if len(rel) < 2:
         return 0.0
     return float(np.percentile(rel, 95) - np.percentile(rel, 10))

@@ -20,7 +20,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = -1e9
+# true -inf like the reference numpy DP: a finite sentinel (-1e9) is
+# outranked once legitimate cumulative log-likelihoods drop below it
+# (long utterances during divergent training), which degenerates the path.
+# The DP only adds/compares — no inf-minus-inf — so -inf is NaN-safe.
+_NEG_INF = -jnp.inf
 
 
 def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -285,6 +285,19 @@ def mel_spectrogram_pallas(
     or "full" (single-basis matmul).
     Returns (..., n_mels, frames) [+ (..., 513, frames)].
     """
+    # the kernels bind exactly n_fft//hop == 4 shifted signal views (the
+    # default 1024/256 geometry); other ratios fall back to the XLA path
+    # rather than crashing inside pallas_call with an arity mismatch
+    if cfg.n_fft // cfg.hop_length != 4:
+        from .stft import linear_spectrogram, mel_spectrogram
+
+        mel = mel_spectrogram(y if y.ndim > 1 else y[None], cfg)
+        mel = mel if y.ndim > 1 else mel[0]
+        if return_linear:
+            lin = linear_spectrogram(y if y.ndim > 1 else y[None], cfg)
+            return mel, (lin if y.ndim > 1 else lin[0])
+        return mel
+
     T = y.shape[-1]
     num_frames = 1 + T // cfg.hop_length if center else T // cfg.hop_length
     fn = functools.partial(
