@@ -30,18 +30,11 @@ import numpy as np
 def _enable_compile_cache():
     """Persist compiled programs across processes — the remote-compile tunnel
     costs ~70s per train-step variant; without this every standalone
-    bench_train run recompiles everything."""
-    import jax
+    bench_train run recompiles everything. Machine-fingerprint-keyed so a
+    foreign host starts cold instead of failing on our AOT entries."""
+    from xva_trainer_tpu.utils.cache import enable_persistent_cache
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _fastpitch_batch(B, T_TEXT, T_MEL, seed=0):
@@ -370,23 +363,49 @@ def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2):
     return {"fastpitch_loop_frames_per_sec": frames_per_epoch * epochs / dt}
 
 
-def bench_train_steps(include_xvapitch: bool = True):
+def bench_train_steps(include_xvapitch: bool = True, time_left=None,
+                      on_update=None):
+    """Run the train-step benches cheapest-first. ``time_left()`` (seconds)
+    gates each sub-bench by a worst-case cold-compile estimate so a cold run
+    on a slow machine reports what fits instead of timing out with nothing;
+    ``on_update(partial)`` streams each result to the caller (bench.py keeps
+    its watchdog line current with the best-so-far — VERDICT r1 #1)."""
     _enable_compile_cache()
-    fp = bench_fastpitch()
-    hg = bench_hifigan()
     out = {}
-    out.update(fp)
-    out.update(hg)
+
+    def _round(d):
+        return {k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in d.items()}
+
+    # (name, worst-case cold seconds incl. tunnel compile, callable)
+    plan = [
+        ("fastpitch", 150.0, bench_fastpitch),
+        ("hifigan", 150.0, bench_hifigan),
+    ]
     if include_xvapitch:
-        out.update(bench_xvapitch())
+        plan.append(("xvapitch", 240.0, bench_xvapitch))
     if os.environ.get("XVA_BENCH_INFER", "1") != "0":
-        try:
-            out.update(bench_tts_infer())
-        except Exception:
-            pass
+        plan.append(("tts_infer", 120.0, bench_tts_infer))
     if os.environ.get("XVA_BENCH_LOOP") == "1":
-        out.update(bench_v2_trainer_loop())
-    return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()}
+        plan.append(("v2_loop", 300.0, bench_v2_trainer_loop))
+
+    import sys
+
+    for name, est, fn in plan:
+        if time_left is not None and time_left() < est + 30.0:
+            print(f"bench_train: skipping {name} "
+                  f"({time_left():.0f}s left < {est:.0f}s estimate)",
+                  file=sys.stderr)
+            continue
+        try:
+            r = _round(fn())
+        except Exception as e:
+            print(f"bench_train: {name} failed: {e}", file=sys.stderr)
+            continue
+        out.update(r)
+        if on_update is not None:
+            on_update(r)
+    return out
 
 
 if __name__ == "__main__":
