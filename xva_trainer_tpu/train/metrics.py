@@ -103,10 +103,12 @@ class ThroughputMeter:
 
 
 def make_tensorboard(output_dir: str):
-    """Optional torch SummaryWriter (reference setup_training_modules :1238)."""
+    """Native torch-free TensorBoard scalar writer (reference
+    setup_training_modules :1238 used torch's SummaryWriter; tb_writer.py
+    emits the same event-file format on torch-less TPU hosts)."""
     try:
-        from torch.utils.tensorboard import SummaryWriter
+        from .tb_writer import ScalarWriter
 
-        return SummaryWriter(os.path.join(output_dir, "tb"), flush_secs=30)
+        return ScalarWriter(os.path.join(output_dir, "tb"), flush_secs=30)
     except Exception:
         return None
