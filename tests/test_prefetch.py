@@ -1,0 +1,117 @@
+"""Packed mmap cache (data/packed.py) + prefetch pipeline (data/prefetch.py)."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from xva_trainer_tpu.data import BucketBatcher, FeatureCache, save_wav
+from xva_trainer_tpu.data.dataset import Bucket
+from xva_trainer_tpu.data.packed import PackedReader, pack_cache
+from xva_trainer_tpu.data.prefetch import Prefetcher
+from xva_trainer_tpu.data.text import TextProcessor
+
+
+def _make_dataset(tmp_path, n=5):
+    ds = tmp_path / "ds"
+    (ds / "wavs").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        t = np.arange(int(22050 * rng.uniform(0.6, 1.2))) / 22050
+        y = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32)
+        save_wav(str(ds / "wavs" / f"it{i}.wav"), y)
+        lines.append(f"it{i}.wav|sample number {i}")
+    (ds / "metadata.csv").write_text("\n".join(lines))
+    return str(ds)
+
+
+def test_packed_cache_matches_npz(tmp_path):
+    ds = _make_dataset(tmp_path)
+    cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)
+    cache.build()  # build() packs at the end
+    assert cache._packed, "build() should produce the packed cache"
+    reader = PackedReader(cache.cache_dir)
+    for it in cache.items:
+        packed = reader.load(it.item_id)
+        with np.load(os.path.join(cache.cache_dir, it.item_id + ".npz")) as z:
+            raw = {k: z[k] for k in z.files}
+        assert set(packed) == set(raw)
+        for k in raw:
+            assert packed[k].dtype == raw[k].dtype
+            np.testing.assert_array_equal(packed[k], raw[k])
+    # load_item prefers the pack (zero-copy read-only views)
+    d = cache.load_item(cache.items[0])
+    assert not d["mel"].flags.writeable
+
+
+def test_pack_is_incremental(tmp_path):
+    ds = _make_dataset(tmp_path, n=3)
+    cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)
+    cache.build()
+    idx = os.path.join(cache.cache_dir, "packed_index.json")
+    m0 = os.path.getmtime(idx)
+    time.sleep(0.05)
+    pack_cache(cache.cache_dir)  # unchanged npz set → no rewrite
+    assert os.path.getmtime(idx) == m0
+
+
+def test_batcher_over_packed_cache(tmp_path):
+    ds = _make_dataset(tmp_path)
+    cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)
+    cache.build()
+    batcher = BucketBatcher(cache, batch_size=2, buckets=[Bucket(64, 256)])
+    batches = list(batcher.epoch())
+    assert batches and batches[0]["mel"].shape == (2, 256, 80)
+
+
+def test_prefetcher_order_and_values():
+    src = list(range(20))
+    pf = Prefetcher(iter(src), transform=lambda x: x * 2, depth=2)
+    assert list(pf) == [x * 2 for x in src]
+
+
+def test_prefetcher_propagates_exceptions():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    pf = Prefetcher(gen())
+    it = iter(pf)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
+def test_prefetcher_close_stops_worker():
+    produced = []
+
+    def gen():
+        for i in range(10**6):
+            produced.append(i)
+            yield i
+
+    pf = Prefetcher(gen(), depth=2)
+    it = iter(pf)
+    for _ in range(3):
+        next(it)
+    pf.close()
+    assert not pf._thread.is_alive()
+    n = len(produced)
+    time.sleep(0.1)
+    assert len(produced) == n  # no production after close
+
+
+def test_prefetcher_overlaps_producer_and_consumer():
+    """Wall-clock of interleaved sleeps must be < serial sum (true overlap)."""
+
+    def slow_gen():
+        for i in range(6):
+            time.sleep(0.05)  # "collate"
+            yield i
+
+    t0 = time.perf_counter()
+    for _ in Prefetcher(slow_gen(), depth=3):
+        time.sleep(0.05)  # "device step"
+    wall = time.perf_counter() - t0
+    assert wall < 0.55, wall  # serial would be ≥0.6

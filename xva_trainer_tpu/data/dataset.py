@@ -112,6 +112,9 @@ class FeatureCache:
 
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        from .packed import PackedReader
+
+        self._packed = PackedReader(self.cache_dir)
 
     def _cache_path(self, item: Utterance) -> str:
         return os.path.join(self.cache_dir, item.item_id + ".npz")
@@ -196,8 +199,18 @@ class FeatureCache:
             )
             if progress:
                 progress(i + 1, len(todo))
+        self.pack()
+
+    def pack(self) -> None:
+        """(Re)build the mmap pack from the per-item npzs (data/packed.py)."""
+        from .packed import PackedReader, pack_cache
+
+        pack_cache(self.cache_dir)
+        self._packed = PackedReader(self.cache_dir)
 
     def load_item(self, item: Utterance) -> Optional[Dict[str, np.ndarray]]:
+        if self._packed and item.item_id in self._packed:
+            return self._packed.load(item.item_id)
         p = self._cache_path(item)
         if not os.path.exists(p):
             return None
@@ -368,6 +381,13 @@ class BucketBatcher:
             for i, it in enumerate(chunk):
                 d = self.cache.load_durations(it.item_id)
                 if d is None:
+                    if not self.with_prior:
+                        # no prior collated → the aligner fallback path can't
+                        # run; substitute uniform durations for this item
+                        # rather than emitting a batch the step can't trace
+                        tl, ml = int(in_lens[i]), int(mel_lens[i])
+                        durs[i, :tl] = ml / max(tl, 1)
+                        continue
                     complete = False
                     break
                 tl = min(len(d), b.text_len)

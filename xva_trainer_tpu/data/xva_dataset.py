@@ -70,6 +70,9 @@ class XvaFeatureCache:
 
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        from .packed import PackedReader
+
+        self._packed = PackedReader(self.cache_dir)
 
     def _cache_path(self, item: Utterance) -> str:
         return os.path.join(self.cache_dir, item.item_id + ".npz")
@@ -137,8 +140,18 @@ class XvaFeatureCache:
             )
             if progress:
                 progress(i + 1, len(todo))
+        self.pack()
+
+    def pack(self) -> None:
+        """(Re)build the mmap pack from the per-item npzs (data/packed.py)."""
+        from .packed import PackedReader, pack_cache
+
+        pack_cache(self.cache_dir)
+        self._packed = PackedReader(self.cache_dir)
 
     def load_item(self, item: Utterance) -> Optional[Dict[str, np.ndarray]]:
+        if self._packed and item.item_id in self._packed:
+            return self._packed.load(item.item_id)
         p = self._cache_path(item)
         if not os.path.exists(p):
             return None
@@ -532,7 +545,7 @@ class XvaBatcher:
             energy[i, :sl] = d["energy"][:sl]
             w = d["wav"][: sl * self.hop]
             wav[i, : len(w), 0] = w
-            lang[i] = int(d["lang_id"])
+            lang[i] = int(np.asarray(d["lang_id"]).reshape(-1)[0])
             emb = self._item_emb(c, it)
             if emb is not None and emb.shape == dvec[i].shape:
                 dvec[i] = emb
