@@ -1,0 +1,205 @@
+"""North-star measurement (BASELINE.md): 2h-dataset FastPitch(1-4) +
+HiFi-GAN(5) fine-tune < 1h wall-clock on v5e-8 (VERDICT r1 #3).
+
+Methodology (everything a user would wait for is included):
+1. Build a synthetic 2h dataset (1200 clips × ~6s, tonal "voices").
+2. Measure the one-time preprocessing wall-clock: feature-cache build
+   (wav decode + TPU mel + native YIN pitch) + packing.
+3. For each FastPitch stage and for HiFi-GAN, run 1 warm-up epoch (compile)
+   + 1 timed steady-state epoch with the production trainer loop (prefetch
+   host feed included) at the stage's production batch sizing.
+4. Duration extraction (stage 1→2 hand-off) is timed once.
+5. Compose two schedules from the measured epoch times:
+   - min-schedule: the early-stopper's minimum legal epochs per stage
+     (1/20/1/1 + HiFi 25 — train/early_stop.py, reference :952 / hifigan
+     :268-270);
+   - typical-schedule: 5/20/5/5 + HiFi 25 (stages with min 1 rarely hit
+     their delta target before ~5 epochs).
+6. v5e-8 extrapolation: stage epoch time scales 1/8 (DP over ICI; the
+   measured loop is device-bound after the prefetch work — see
+   fastpitch_loop_frames_per_sec vs device-only in bench_train.py), while
+   one-time host preprocessing does not scale.
+
+Run: python bench_northstar.py [--clips N] [--seconds-per-clip S]
+Writes northstar.json and prints one JSON line.
+"""
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_dataset(root: str, n_clips: int, sec: float) -> str:
+    from xva_trainer_tpu.data.audio_io import save_wav
+
+    rng = np.random.default_rng(0)
+    ds = os.path.join(root, "ds2h")
+    os.makedirs(os.path.join(ds, "wavs"), exist_ok=True)
+    lines = []
+    words = ("the quick brown fox jumps over the lazy dog while seven "
+             "wizards toast jugs of very exquisite blank verse").split()
+    for i in range(n_clips):
+        dur = sec * rng.uniform(0.7, 1.3)
+        t = np.arange(int(22050 * dur)) / 22050
+        f0 = 110 + (i % 40) * 3
+        y = np.zeros_like(t)
+        for h in range(1, 8):
+            y += 0.4 / h * np.sin(2 * np.pi * f0 * h * t)
+        y *= 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1, 3) * t)
+        save_wav(os.path.join(ds, "wavs", f"c{i:05d}.wav"),
+                 (0.4 * y).astype(np.float32))
+        k = rng.integers(6, 14)
+        text = " ".join(rng.choice(words, k))
+        lines.append(f"c{i:05d}.wav|{text}")
+    with open(os.path.join(ds, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines))
+    return ds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=1200)
+    ap.add_argument("--seconds-per-clip", type=float, default=6.0)
+    ap.add_argument("--root", default="/tmp/xva_northstar")
+    ap.add_argument("--batch-size", type=int, default=32)
+    args = ap.parse_args()
+
+    from xva_trainer_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)))
+
+    import jax
+
+    from xva_trainer_tpu.data.dataset import BucketBatcher, FeatureCache
+    from xva_trainer_tpu.data.text import TextProcessor
+    from xva_trainer_tpu.models.fastpitch import FastPitchConfig
+    from xva_trainer_tpu.train.fastpitch_trainer import (
+        FastPitchTrainConfig,
+        FastPitchTrainer,
+    )
+    from xva_trainer_tpu.train.hifigan_trainer import (
+        HifiganTrainConfig,
+        HifiganTrainer,
+    )
+    from xva_trainer_tpu.train.pipeline import stage_batch_size
+    from xva_trainer_tpu.train.early_stop import fastpitch_min_epochs
+
+    os.makedirs(args.root, exist_ok=True)
+    report = {"clips": args.clips, "sec_per_clip": args.seconds_per_clip}
+
+    t0 = time.perf_counter()
+    ds = build_dataset(args.root, args.clips, args.seconds_per_clip)
+    report["dataset_gen_s"] = round(time.perf_counter() - t0, 1)
+
+    hours = args.clips * args.seconds_per_clip / 3600
+    report["dataset_hours"] = round(hours, 2)
+
+    # ---- one-time preprocessing (counted) ----
+    t0 = time.perf_counter()
+    cache = FeatureCache(ds, TextProcessor().encode)
+    cache.build()
+    report["cache_build_s"] = round(time.perf_counter() - t0, 1)
+
+    out_dir = os.path.join(args.root, "out")
+    cfg = FastPitchTrainConfig(output_dir=out_dir, batch_size=args.batch_size)
+    tr = FastPitchTrainer(cache, cfg, FastPitchConfig())
+    max_len = cache.max_file_len_sec()
+    n_dev = len(jax.devices())
+
+    def batcher_for(stage):
+        bs = stage_batch_size(args.batch_size, stage, max_len, n_dev)
+        b = BucketBatcher(cache, batch_size=bs)
+        b.use_durs = stage >= 2 and cache.has_durations()
+        return b
+
+    rng = jax.random.PRNGKey(0)
+    stage_epoch_s = {}
+    stage_compile_s = {}
+    durs_s = 0.0
+    for stage in (1, 2, 3, 4):
+        tr.stage = stage
+        tr._stage_objects()
+        batcher = batcher_for(stage)
+        if stage == 1:
+            tr.setup(batcher, resume=False)
+        else:
+            tr.state = tr.state.replace(opt_state=tr.tx.init(tr.state.params))
+        # warm-up epoch = compile + first pass
+        t0 = time.perf_counter()
+        _, rng = tr.run_epoch(batcher, rng)
+        stage_compile_s[stage] = round(time.perf_counter() - t0, 1)
+        # steady-state epoch
+        t0 = time.perf_counter()
+        _, rng = tr.run_epoch(batcher, rng)
+        stage_epoch_s[stage] = round(time.perf_counter() - t0, 1)
+        print(f"[northstar] stage {stage}: warmup {stage_compile_s[stage]}s "
+              f"steady {stage_epoch_s[stage]}s "
+              f"({len(batcher)} steps/epoch, frames/s "
+              f"{int(tr.meter.mean())})", flush=True)
+        if stage == 1:
+            t0 = time.perf_counter()
+            tr.extract_durations(batcher)
+            durs_s = round(time.perf_counter() - t0, 1)
+    report["stage_epoch_s"] = stage_epoch_s
+    report["stage_warmup_s"] = stage_compile_s
+    report["durations_extract_s"] = durs_s
+
+    # ---- HiFi-GAN (stage 5) ----
+    t0 = time.perf_counter()
+    hcfg = HifiganTrainConfig(output_dir=os.path.join(out_dir, "hifi"),
+                              batch_size=16)
+    hifi = HifiganTrainer(ds, hcfg)
+    hifi.setup(resume=False)
+    report["hifi_setup_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    hifi.run_epoch()
+    report["hifi_warmup_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    hifi.run_epoch()
+    hifi_epoch_s = round(time.perf_counter() - t0, 1)
+    report["hifi_epoch_s"] = hifi_epoch_s
+    print(f"[northstar] hifi: warmup {report['hifi_warmup_s']}s "
+          f"steady {hifi_epoch_s}s", flush=True)
+
+    # ---- schedule compositions ----
+    one_time = (report["cache_build_s"] + durs_s
+                + sum(stage_compile_s.values()) + report["hifi_warmup_s"]
+                + report["hifi_setup_s"])
+    min_epochs = {s: fastpitch_min_epochs(s) for s in (1, 2, 3, 4)}
+    typical = {1: 5, 2: 20, 3: 5, 4: 5}
+    HIFI_MIN = 25
+
+    def total(epochs):
+        train = sum(stage_epoch_s[s] * max(0, epochs[s] - 1)
+                    for s in (1, 2, 3, 4))
+        train += hifi_epoch_s * (HIFI_MIN - 1)
+        return one_time + train
+
+    report["one_time_s"] = round(one_time, 1)
+    report["min_schedule_wall_s"] = round(total(min_epochs), 1)
+    report["typical_schedule_wall_s"] = round(total(typical), 1)
+    # v5e-8: training epochs scale 1/8 (DP); host preprocessing does not
+    scale = 1 / 8
+    def total8(epochs):
+        train = sum(stage_epoch_s[s] * max(0, epochs[s] - 1)
+                    for s in (1, 2, 3, 4)) * scale
+        train += hifi_epoch_s * (HIFI_MIN - 1) * scale
+        return one_time + train
+    report["min_schedule_v5e8_s"] = round(total8(min_epochs), 1)
+    report["typical_schedule_v5e8_s"] = round(total8(typical), 1)
+    report["northstar_target_s"] = 3600
+    report["meets_target_1chip_typical"] = (
+        report["typical_schedule_wall_s"] < 3600)
+    report["meets_target_v5e8_typical"] = (
+        report["typical_schedule_v5e8_s"] < 3600)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "northstar.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,6 +166,9 @@ class FastPitchTrainer:
         self.total_iter = 0
         self.stop_requested = False
         self.paused = False   # warm pause: jitted step + state stay resident
+        from .metrics import make_tensorboard
+
+        self.tb = make_tensorboard(cfg.output_dir)  # torch-free (tb_writer.py)
         self._stage_objects()
 
     # ---- lifecycle ----
@@ -198,6 +201,17 @@ class FastPitchTrainer:
         self._step_fn = make_stage_step(self.model, self.stage, self.tx,
                                         use_gt_durs=use_gt,
                                         use_amp=self.cfg.use_amp)
+        # per-stage H2D filter: stage 2 runs at a 12x batch multiplier
+        # (pipeline.STAGE_BS_MULT) but its gt-durs step reads only
+        # tokens/in_lens/durs — shipping the unused (B, mel_len, 80) mel and
+        # (B, mel_len, text_len) prior wastes most of the transfer
+        if self.stage == 1:
+            self._batch_keys = {"tokens", "in_lens", "mel", "mel_lens",
+                                "prior"}
+        elif self.stage == 2 and use_gt:
+            self._batch_keys = {"tokens", "in_lens", "durs"}
+        else:
+            self._batch_keys = None  # full batch
 
     def extract_durations(self, batcher: BucketBatcher) -> int:
         """After stage 1: run the aligner once over the dataset, caching
@@ -289,35 +303,48 @@ class FastPitchTrainer:
     def run_epoch(self, batcher: BucketBatcher, rng: jax.Array):
         epoch_losses = []
         pending = None  # previous step's device loss — read one step late so
-        # the host collates batch k+1 while the device still runs batch k
-        # (a same-step float() would serialize collate with compute)
-        with self.mesh:
-            self.meter.start()
-            for batch in batcher.epoch():
-                while self.paused and not self.stop_requested:
-                    time.sleep(0.2)
-                if self.stop_requested:
-                    break
-                frames = int(np.sum(batch["mel_lens"]))
-                dev_batch = shard_batch(self.mesh, batch)
-                rng, sub = jax.random.split(rng)
-                self.state, meta = self._step_fn(
-                    self.state, dev_batch, jnp.asarray(self.kl_weight()), sub
-                )
-                self.total_iter += 1
-                if pending is not None:
-                    loss = float(pending)
-                    epoch_losses.append(loss)
-                    fps = self.meter.step()
-                    self.logger.set_status(
-                        f"Stage: {self.stage} | Epoch: {self.epoch} | "
-                        f"Iter: {self.total_iter - 1} | Loss: {loss:.5f} | "
-                        f"frames/s: {int(fps)}"
+        # the loss readback never serializes dispatch with device compute
+        from ..data.prefetch import Prefetcher
+
+        # collate + H2D run on the prefetch worker thread; the loop below only
+        # dequeues ready device batches and dispatches steps (VERDICT r1 #2)
+        keys = self._batch_keys
+
+        def _prep(b):
+            sel = b if keys is None else {k: v for k, v in b.items()
+                                          if k in keys}
+            return (shard_batch(self.mesh, sel),
+                    int(np.sum(b["mel_lens"])))
+
+        pf = Prefetcher(batcher.epoch(), _prep)
+        try:
+            with self.mesh:
+                self.meter.start()
+                for dev_batch, frames in pf:
+                    while self.paused and not self.stop_requested:
+                        time.sleep(0.2)
+                    if self.stop_requested:
+                        break
+                    rng, sub = jax.random.split(rng)
+                    self.state, meta = self._step_fn(
+                        self.state, dev_batch, jnp.asarray(self.kl_weight()), sub
                     )
-                pending = meta["loss"]
-                self.meter.add_frames(frames)
-            if pending is not None:
-                epoch_losses.append(float(pending))
+                    self.total_iter += 1
+                    if pending is not None:
+                        loss = float(pending)
+                        epoch_losses.append(loss)
+                        fps = self.meter.step()
+                        self.logger.set_status(
+                            f"Stage: {self.stage} | Epoch: {self.epoch} | "
+                            f"Iter: {self.total_iter - 1} | Loss: {loss:.5f} | "
+                            f"frames/s: {int(fps)}"
+                        )
+                    pending = meta["loss"]
+                    self.meter.add_frames(frames)
+                if pending is not None:
+                    epoch_losses.append(float(pending))
+        finally:
+            pf.close()
         return epoch_losses, rng
 
     def finish_epoch(self, epoch_losses) -> bool:
@@ -327,6 +354,9 @@ class FastPitchTrainer:
             return False
         avg = float(np.mean(epoch_losses))
         self.graphs.add_loss(self.stage, self.total_iter, avg)
+        if getattr(self, "tb", None):
+            self.tb.add_scalar(f"loss/stage{self.stage}", avg, self.total_iter)
+            self.tb.add_scalar("meta/frames/s", self.meter.mean(), self.total_iter)
         done = self.early.push_epoch(avg)
         if self.early.last_delta_avg is not None:
             self.graphs.add_delta(self.stage, self.total_iter, self.early.last_delta_avg)

@@ -76,6 +76,9 @@ class HifiganTrainConfig:
     steps_per_epoch_hint: int = 200  # lr decay granularity
     # bf16 compute / fp32 masters (train/amp.py); reference AMP default-on
     use_amp: bool = True
+    # reference-parity D-first update ordering (one extra G forward/step);
+    # default False — A/B'd equivalent, see make_gan_step docstring
+    d_first: bool = False
 
 
 def make_gan_step(
@@ -85,11 +88,18 @@ def make_gan_step(
     d_tx: optax.GradientTransformation,
     mel_cfg: MelConfig,
     use_amp: bool = True,
+    d_first: bool = False,
 ):
-    """G step against the current D, then D step on the stop-gradient-cached
-    fakes — the generator runs exactly ONCE per step (the reference's
-    y_disc_cache trick, xvapitch/xva_train.py:648-667; a D-first ordering
-    would cost a second full generator forward under jax.grad).
+    """Fused adversarial step with two orderings:
+
+    - default (d_first=False): G step against the current D, then D step on
+      the stop-gradient-cached fakes — the generator runs exactly ONCE per
+      step (the reference's y_disc_cache trick, xvapitch/xva_train.py:648-667).
+    - d_first=True: reference v2 parity (hifigan/xva_train.py:451-567) — D
+      steps first on this G's fakes, then G steps against the UPDATED D.
+      Costs one extra no-grad generator forward. A/B'd on the demo dataset
+      (see README "HiFi-GAN update ordering"): both orderings converge to the
+      same mel-L1 within noise, so the cheaper ordering stays the default.
 
     use_amp: bf16 compute / fp32 masters (train/amp.py); both loss mels are
     computed on fp32-cast waveforms (FFTs stay fp32).
@@ -103,47 +113,67 @@ def make_gan_step(
     def mel_of(wav):  # (B, T, 1) → (B, 80, T/256)
         return mel_spectrogram_hifigan(wav[..., 0], loss_mel_cfg)
 
+    def g_loss_fn(g_params, d_params, d_stats, mel_in_t, wav_real):
+        y_g = _g_apply(g_params, mel_in_t)  # (B, SEGMENT, 1)
+        mel_l1 = jnp.mean(jnp.abs(mel_of(y_g) - mel_of(wav_real)))
+        (outs_r, outs_g, fmaps_r, fmaps_g), _ = _d_apply(
+            {"params": d_params["params"], "batch_stats": d_stats},
+            wav_real, y_g, update_sn_stats=False, mutable=["batch_stats"],
+        )
+        adv = generator_adv_loss(outs_g)
+        fm = feature_matching_loss(fmaps_r, fmaps_g)
+        total = MEL_WEIGHT * mel_l1 + adv + fm
+        meta = {"mel_l1": mel_l1, "adv": adv, "fm": fm,
+                "y_hat": jax.lax.stop_gradient(y_g)}
+        return total, meta
+
+    def d_loss_fn(d_params, d_stats, wav_real, y_hat_sg):
+        (outs_r, outs_g, _, _), new_stats = _d_apply(
+            {"params": d_params["params"], "batch_stats": d_stats},
+            wav_real, y_hat_sg, update_sn_stats=True, mutable=["batch_stats"],
+        )
+        return discriminator_loss(outs_r, outs_g), new_stats["batch_stats"]
+
+    def d_step(state, wav_real, y_hat_sg):
+        (d_loss, new_stats), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params, state.d_stats,
+                                     wav_real, y_hat_sg)
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+        return d_loss, new_d_params, new_stats, new_d_opt
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: GanState, wav_real):
         # wav_real: (B, SEGMENT, 1) in [-1, 1]
         mel_in = mel_spectrogram_hifigan(wav_real[..., 0], mel_cfg)  # (B,80,32)
         mel_in_t = jnp.swapaxes(mel_in, 1, 2)  # channels-last
 
-        # ---- G step (one generator forward; fakes cached for the D pass) ----
-        def g_loss_fn(g_params):
-            y_g = _g_apply(g_params, mel_in_t)  # (B, SEGMENT, 1)
-            mel_l1 = jnp.mean(jnp.abs(mel_of(y_g) - mel_of(wav_real)))
-            (outs_r, outs_g, fmaps_r, fmaps_g), _ = _d_apply(
-                {"params": state.d_params["params"], "batch_stats": state.d_stats},
-                wav_real, y_g, update_sn_stats=False, mutable=["batch_stats"],
-            )
-            adv = generator_adv_loss(outs_g)
-            fm = feature_matching_loss(fmaps_r, fmaps_g)
-            total = MEL_WEIGHT * mel_l1 + adv + fm
-            meta = {"mel_l1": mel_l1, "adv": adv, "fm": fm,
-                    "y_hat": jax.lax.stop_gradient(y_g)}
-            return total, meta
+        if d_first:
+            # reference ordering: D on this G's fakes, then G vs updated D
+            y_hat_sg = jax.lax.stop_gradient(
+                _g_apply(state.g_params, mel_in_t))
+            d_loss, new_d_params, new_stats, new_d_opt = d_step(
+                state, wav_real, y_hat_sg)
+            (g_loss, meta), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params, new_d_params,
+                                         new_stats, mel_in_t, wav_real)
+            meta.pop("y_hat")
+            g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt,
+                                               state.g_params)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
+        else:
+            # ---- G step (one generator forward; fakes cached for D) ----
+            (g_loss, meta), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params, state.d_params,
+                                         state.d_stats, mel_in_t, wav_real)
+            g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt,
+                                               state.g_params)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
+            y_hat_sg = meta.pop("y_hat")
 
-        (g_loss, meta), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
-        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        new_g_params = optax.apply_updates(state.g_params, g_updates)
-        y_hat_sg = meta.pop("y_hat")
-
-        # ---- D step (on the cached fakes) ----
-        def d_loss_fn(d_params):
-            (outs_r, outs_g, _, _), new_stats = _d_apply(
-                {"params": d_params["params"], "batch_stats": state.d_stats},
-                wav_real, y_hat_sg, update_sn_stats=True, mutable=["batch_stats"],
-            )
-            return discriminator_loss(outs_r, outs_g), new_stats["batch_stats"]
-
-        (d_loss, new_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.d_params
-        )
-        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        new_d_params = optax.apply_updates(state.d_params, d_updates)
+            # ---- D step (on the cached fakes) ----
+            d_loss, new_d_params, new_stats, new_d_opt = d_step(
+                state, wav_real, y_hat_sg)
 
         new_state = GanState(
             g_params=new_g_params,
@@ -241,7 +271,8 @@ class HifiganTrainer:
             learning_rate=cfg.lr, b1=0.8, b2=0.99, weight_decay=0.01
         )
         self._step_fn = make_gan_step(self.gen, self.disc, self.g_tx, self.d_tx,
-                                      mel_cfg, use_amp=cfg.use_amp)
+                                      mel_cfg, use_amp=cfg.use_amp,
+                                      d_first=cfg.d_first)
         self.early = EarlyStopState(
             target_delta=HIFIGAN_TARGET_DELTA,
             span=HIFIGAN_SPAN,
@@ -255,6 +286,9 @@ class HifiganTrainer:
         self.total_iter = 0
         self.stop_requested = False
         self.paused = False   # warm pause: jitted step + state stay resident
+        from .metrics import make_tensorboard
+
+        self.tb = make_tensorboard(cfg.output_dir)  # torch-free (tb_writer.py)
 
     def setup(self, resume: bool = True, pretrained_g: Optional[str] = None,
               pretrained_do: Optional[str] = None):
@@ -321,32 +355,42 @@ class HifiganTrainer:
     def run_epoch(self):
         losses = []
         pending = None  # previous step's device loss — read one step late so
-        # the host prepares segment k+1 while the device runs step k
-        with self.mesh:
-            self.meter.start()
-            for seg in self.sampler.epoch():
-                while self.paused and not self.stop_requested:
-                    time.sleep(0.2)
-                if self.stop_requested:
-                    break
-                if self._max_iters and self.total_iter >= self._max_iters:
-                    break
-                dev = shard_batch(self.mesh, {"wav": seg})["wav"]
-                self.state, meta = self._step_fn(self.state, dev)
-                self.total_iter += 1
+        # the loss readback never serializes dispatch with device compute
+        from ..data.prefetch import Prefetcher
+
+        # segment crop + H2D on the worker thread (VERDICT r1 #2)
+        bs = self.cfg.batch_size
+        pf = Prefetcher(
+            self.sampler.epoch(),
+            lambda seg: shard_batch(self.mesh, {"wav": seg})["wav"],
+        )
+        try:
+            with self.mesh:
+                self.meter.start()
+                for dev in pf:
+                    while self.paused and not self.stop_requested:
+                        time.sleep(0.2)
+                    if self.stop_requested:
+                        break
+                    if self._max_iters and self.total_iter >= self._max_iters:
+                        break
+                    self.state, meta = self._step_fn(self.state, dev)
+                    self.total_iter += 1
+                    if pending is not None:
+                        mel_l1 = float(pending)
+                        losses.append(mel_l1)
+                        fps = self.meter.step()
+                        self.logger.set_status(
+                            f"Stage: 5 | Epoch: {self.epoch} | "
+                            f"Iter: {self.total_iter - 1} | mel L1: {mel_l1:.5f} | "
+                            f"its/s: {fps / (bs * 32):.2f}"
+                        )
+                    pending = meta["mel_l1"]
+                    self.meter.add_frames(bs * (SEGMENT_SIZE // 256))
                 if pending is not None:
-                    mel_l1 = float(pending)
-                    losses.append(mel_l1)
-                    fps = self.meter.step()
-                    self.logger.set_status(
-                        f"Stage: 5 | Epoch: {self.epoch} | "
-                        f"Iter: {self.total_iter - 1} | mel L1: {mel_l1:.5f} | "
-                        f"its/s: {fps / (seg.shape[0] * 32):.2f}"
-                    )
-                pending = meta["mel_l1"]
-                self.meter.add_frames(seg.shape[0] * (SEGMENT_SIZE // 256))
-            if pending is not None:
-                losses.append(float(pending))
+                    losses.append(float(pending))
+        finally:
+            pf.close()
         return losses
 
     def _set_lr(self, lr: float):
@@ -371,6 +415,10 @@ class HifiganTrainer:
             return False
         avg = float(np.mean(losses))
         self.graphs.add_loss(5, self.total_iter, avg)
+        if getattr(self, "tb", None):
+            self.tb.add_scalar("loss/mel_l1", avg, self.total_iter)
+            self.tb.add_scalar("meta/frames/s", self.meter.mean(),
+                               self.total_iter)
         done = self.early.push_epoch(avg)
         if self.early.last_delta_avg is not None:
             self.graphs.add_delta(5, self.total_iter, self.early.last_delta_avg)

@@ -35,6 +35,9 @@ class PipelineConfig:
     voice_name: str = "voice"
     # bf16 compute / fp32 masters (train/amp.py); reference AMP default-on
     use_amp: bool = True
+    # per-queue-item config parity (reference javascript/train.js:711-747)
+    force_stage: int = 0          # 0 = auto; 1-4 FastPitch, 5 = HiFi-GAN only
+    epochs_per_checkpoint: int = 1  # the reference's bkp_every_x
 
 
 STAGE_BS_MULT = {1: 1.5, 2: 12.0, 3: 3.5, 4: 4.0}
@@ -106,6 +109,8 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
         batch_size=cfg.batch_size,
         target_bs=cfg.target_bs,
         use_amp=cfg.use_amp,
+        force_stage=min(cfg.force_stage, 4),
+        epochs_per_checkpoint=cfg.epochs_per_checkpoint,
     )
     fp = FastPitchTrainer(cache, fp_cfg, model_cfg, mesh=mesh, logger=logger)
     if on_trainer:
@@ -123,18 +128,28 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
     def batcher_for(stage: int) -> BucketBatcher:
         bs = stage_batch_size(cfg.batch_size, stage, max_len_sec, n_dev,
                               divisor=n_data)
-        b = BucketBatcher(cache, batch_size=bs)
+        # stage 2 with pre-extracted durations never reads the attention
+        # prior — skip the per-item betabinomial collate work at its 12x
+        # batch multiplier
+        with_prior = not (stage == 2 and cache.has_durations())
+        b = BucketBatcher(cache, batch_size=bs, with_prior=with_prior)
         b.arpabet_encoder = arpabet_tp
         # pre-extracted durations survive batcher swaps (see fp.train)
         b.use_durs = cache.has_durations()
         return b
 
-    batcher = batcher_for(fp.stage)
-    fp.setup(batcher)
-    fp_result = fp.train(batcher, max_epochs=cfg.max_fp_epochs,
-                         max_iters=max_iters, batcher_factory=batcher_for)
-    fp_path = fp.export(cfg.voice_name)
-    logger.log(f"[pipeline] FastPitch done: {fp_result} → {fp_path}")
+    if cfg.force_stage == 5:
+        # per-queue-item "stage 5": straight to the vocoder (reference
+        # force_stage semantics, javascript/train.js:711-747)
+        fp_result, fp_path = {"skipped": True}, None
+        logger.log("[pipeline] force_stage=5: skipping FastPitch stages 1-4")
+    else:
+        batcher = batcher_for(fp.stage)
+        fp.setup(batcher)
+        fp_result = fp.train(batcher, max_epochs=cfg.max_fp_epochs,
+                             max_iters=max_iters, batcher_factory=batcher_for)
+        fp_path = fp.export(cfg.voice_name)
+        logger.log(f"[pipeline] FastPitch done: {fp_result} → {fp_path}")
 
     hifi_cfg = HifiganTrainConfig(
         output_dir=os.path.join(cfg.output_path, "hifi"),
@@ -149,7 +164,7 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
     hg_path = hifi.export(cfg.voice_name, cfg.output_path)
     logger.log(f"[pipeline] HiFi-GAN done: {hifi_result} → {hg_path}")
     return {"fastpitch": fp_result, "hifigan": hifi_result,
-            "exports": [fp_path, hg_path]}
+            "exports": [p for p in (fp_path, hg_path) if p]}
 
 
 class V2InferenceModel:
