@@ -312,6 +312,14 @@ class XvaTextPreprocessor:
         self.g2p_backend = g2p_backend  # live eSpeak/epitran equivalent
         if self.spec.get("wolof"):
             self.g2p_backend = lambda w: wolof_g2p(w)
+        elif self.g2p_backend is None:
+            # auto-wire a live backend when one is available on this machine
+            # (espeak-ng on PATH / epitran / pypinyin — reference
+            # fill_missing_via_g2p:304-448 always has one); cache misses
+            # degrade to dicts+rules otherwise
+            from .g2p_backends import make_live_backend
+
+            self.g2p_backend = make_live_backend(lang)
 
         self.dicts: List[Dict[str, str]] = []
         self.dict_is_custom: List[bool] = []
@@ -416,24 +424,74 @@ class XvaTextPreprocessor:
 
     _VERB_CUES = {"to", "will", "would", "can", "could", "should", "shall",
                   "may", "might", "must", "did", "do", "does", "don't",
-                  "didn't", "doesn't", "i", "we", "they", "you"}
+                  "didn't", "doesn't", "i", "we", "they", "you", "please",
+                  "cannot", "can't", "won't", "wouldn't", "couldn't",
+                  "shouldn't", "he", "she", "it"}
+    _NOUN_CUES = {"the", "a", "an", "this", "that", "these", "those", "my",
+                  "your", "his", "her", "its", "our", "their", "every",
+                  "each", "any", "some", "no", "new", "old", "broken",
+                  "world", "of"}
+    _ADVERBS = {"quickly", "slowly", "carefully", "really", "just", "now",
+                "then", "also", "always", "never", "not", "only", "even"}
+
+    @staticmethod
+    def _nltk_tagger():
+        """nltk pos_tag when its averaged-perceptron data is installed (the
+        reference's h2p parser backend, lib/_dev/h2p_parser); None otherwise
+        (e.g. zero-egress images where the tagger data can't be fetched)."""
+        try:
+            import nltk
+
+            nltk.pos_tag(["test"])  # raises LookupError without the data
+            return nltk.pos_tag
+        except Exception:
+            return None
 
     def replace_heteronyms(self, text: str) -> str:
-        """DEFAULT/VERB choice via a verb-context heuristic (stands in for the
-        reference's nltk POS tagger, h2p_parser/h2p.py)."""
+        """DEFAULT/VERB choice, matching the reference's nltk-POS-backed h2p
+        parser (text_preprocessing.py:201-263 + lib/_dev/h2p_parser): uses
+        nltk's tagger when its data is installed, else a rule heuristic
+        (verb cues before, determiner/possessive context → noun, adverb
+        skipping, X-followed-by-determiner → verb)."""
         if not self.heteronyms:
             return text
+        if not hasattr(self, "_pos_tag"):
+            self._pos_tag = self._nltk_tagger()
         tokens = text.split(" ")
+        bares = [t.strip().lower().strip(".,!?;:\"'") for t in tokens]
+        nltk_tags = None
+        if self._pos_tag is not None and any(b in self.heteronyms for b in bares):
+            try:
+                nltk_tags = [t for _, t in self._pos_tag(bares)]
+            except Exception:
+                nltk_tags = None
         out = []
         for i, tok in enumerate(tokens):
-            bare = tok.strip().lower().strip(".,!?;:\"'")
+            bare = bares[i]
             entry = self.heteronyms.get(bare)
             if not entry or "{" in tok:
                 out.append(tok)
                 continue
-            prev = tokens[i - 1].lower().strip(".,!?;:\"'") if i else ""
-            key = "VERB" if (prev in self._VERB_CUES and "VERB" in entry) \
-                else "DEFAULT"
+            if nltk_tags is not None:
+                is_verb = nltk_tags[i].startswith("VB")
+            else:
+                # look back past adverbs for a cue word
+                j = i - 1
+                while j >= 0 and bares[j] in self._ADVERBS:
+                    j -= 1
+                prev = bares[j] if j >= 0 else ""
+                nxt = bares[i + 1] if i + 1 < len(tokens) else ""
+                if prev in self._NOUN_CUES:
+                    is_verb = False
+                elif prev in self._VERB_CUES:
+                    is_verb = True
+                elif nxt in {"the", "a", "an", "your", "my", "their", "his",
+                             "her", "our", "it", "them", "me", "us"}:
+                    # "record the data" — object follows a verb
+                    is_verb = True
+                else:
+                    is_verb = False
+            key = "VERB" if (is_verb and "VERB" in entry) else "DEFAULT"
             pron = entry.get(key) or entry.get("DEFAULT")
             # keep trailing punctuation outside the braces
             suffix = tok[len(tok.rstrip(".,!?;:\"'")):]
@@ -505,9 +563,15 @@ class XvaTextPreprocessor:
                         continue
                     cached = self.g2p_cache.get(sp.lower())
                     if self.spec.get("pinyin"):
-                        # zh: cache values are PINYIN (g2pC output), and a
-                        # whole-phrase miss falls back to per-character
-                        # lookups (han text has no space segmentation)
+                        # zh: cache values are PINYIN (g2pC output); a
+                        # whole-phrase miss asks the live backend first
+                        # (pypinyin-equivalent of g2pC), then falls back to
+                        # per-character lookups (han has no segmentation)
+                        if cached is None and self.g2p_backend is not None:
+                            pin = self.g2p_backend(sp).replace("|", " ").strip()
+                            if pin:
+                                cached = self.g2p_cache[sp.lower()] = pin
+                                self._g2p_cache_dirty = True
                         if cached is not None:
                             sub_phonemes.append(" ".join(pinyin_symbols(cached)))
                         else:
@@ -528,6 +592,16 @@ class XvaTextPreprocessor:
                     # behavior when use_g2p=False)
                 part_phonemes.append(" ".join(sub_phonemes))
             phonemised.append(" _ ".join(part_phonemes))
+
+        # persist newly G2P'd words back to the on-disk cache (the reference
+        # rewrites the cache file per new word, :400-401; batching per call
+        # keeps the same durability at a fraction of the writes)
+        if self._g2p_cache_dirty and self.g2p_cache_path:
+            try:
+                self.save_g2p_cache()
+                self._g2p_cache_dirty = False
+            except OSError:
+                pass  # read-only assets dir: keep the in-memory entries
 
         text_out = []
         for ppi, phon_part in enumerate(phonemised):
