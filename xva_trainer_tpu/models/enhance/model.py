@@ -147,6 +147,17 @@ class SpeechEnhancer:
         )
 
 
+def load_params_npz(path: str):
+    """Load params saved by scripts/train_default_enhancer.py (flat
+    'a/b/c' keys, fp16 values → fp32 pytree)."""
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k], jnp.float32)
+                for k in z.files}
+    return unflatten_dict(flat)
+
+
 def si_sdr(est: jnp.ndarray, ref: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Scale-invariant SDR in dB (higher is better)."""
     ref = ref - ref.mean(axis=-1, keepdims=True)
