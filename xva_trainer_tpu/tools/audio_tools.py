@@ -333,18 +333,84 @@ class SrtSplitTool(BaseTool):
         await self.done(websocket)
 
 
+def decode_wem_pcm(path: str):
+    """Native decode for PCM/float Wwise .wem files.
+
+    Wwise containers are RIFF WAVE with extra chunks; when the codec is
+    plain PCM (0x0001), IEEE float (0x0003), or WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, the common Wwise PCM tag), the `data` chunk is raw samples and
+    needs no ww2ogg/codebooks. Returns (mono float32, sr) or None when the
+    codec is Vorbis/other (2 = Wwise's ADPCM/Vorbis tags need the binary).
+    """
+    import struct
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < 12 or raw[:4] not in (b"RIFF", b"RIFX"):
+        return None
+    big = raw[:4] == b"RIFX"
+    u32 = (">I" if big else "<I")
+    u16 = (">H" if big else "<H")
+    if raw[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = struct.unpack_from(u32, raw, pos + 4)[0]
+        body = raw[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag = struct.unpack_from(u16, fmt, 0)[0]
+    channels = struct.unpack_from(u16, fmt, 2)[0]
+    sr = struct.unpack_from(u32, fmt, 4)[0]
+    bits = struct.unpack_from(u16, fmt, 14)[0]
+    if tag == 0xFFFE and len(fmt) >= 26:
+        # extensible: the real tag is the first 2 bytes of the SubFormat GUID
+        tag = struct.unpack_from(u16, fmt, 24)[0]
+    if tag not in (0x0001, 0x0003) or channels < 1 or sr <= 0:
+        return None  # Vorbis/ADPCM .wem → needs ww2ogg
+    if tag == 0x0003 and bits == 32:
+        y = np.frombuffer(data, dtype=(">f4" if big else "<f4")).astype(np.float32)
+    elif bits == 16:
+        y = np.frombuffer(data, dtype=(">i2" if big else "<i2")).astype(np.float32) / 32768.0
+    elif bits == 8:
+        y = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(data, np.uint8)
+        b = b[: len(b) // 3 * 3].reshape(-1, 3)
+        if big:
+            b = b[:, ::-1]
+        vals = (b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        y = vals.astype(np.float32) / float(1 << 23)
+    elif tag == 0x0001 and bits == 32:
+        y = np.frombuffer(data, dtype=(">i4" if big else "<i4")).astype(np.float32) / 2147483648.0
+    else:
+        return None
+    if channels > 1:
+        y = y[: len(y) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return y.astype(np.float32), int(sr)
+
+
 class Wem2OggTool(BaseTool):
-    """'wem2ogg': Wwise .wem → .ogg. Requires the ww2ogg binary (the reference
-    ships ww2ogg.exe + codebooks — python/wem2ogg/model.py:36-64); gated here."""
+    """'wem2ogg': Wwise .wem audio extraction (reference ships ww2ogg.exe +
+    codebooks — python/wem2ogg/model.py:36-64). Native path: PCM/float .wem
+    decode straight to .wav (no binary needed — the reference's next step is
+    the `formatting` tool, which takes wav). Vorbis-codec .wem fall back to a
+    ww2ogg or vgmstream-cli binary when one is on PATH."""
 
     async def run(self, data: Dict, websocket=None):
-        ww2ogg = shutil.which("ww2ogg") or data.get("ww2oggPath")
-        if not ww2ogg:
-            await self.error(
-                websocket,
-                "ww2ogg binary not found — install it or pass ww2oggPath",
-            )
-            return
+        ww2ogg = (shutil.which("ww2ogg") or data.get("ww2oggPath")
+                  or shutil.which("vgmstream-cli"))
         in_path = data.get("inPath") or data["inputDirectory"]
         out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
         os.makedirs(out_dir, exist_ok=True)
@@ -353,11 +419,31 @@ class Wem2OggTool(BaseTool):
             for f in os.listdir(in_path)
             if f.endswith(".wem")
         ]
+        needs_binary = []
 
         def work(f):
-            subprocess.run([ww2ogg, f, "-o",
-                            os.path.join(out_dir, os.path.basename(f)[:-4] + ".ogg")],
-                           check=True)
+            decoded = decode_wem_pcm(f)
+            stem = os.path.basename(f)[:-4]
+            if decoded is not None:
+                y, sr = decoded
+                from ..data.audio_io import save_wav
+
+                save_wav(os.path.join(out_dir, stem + ".wav"), y, sr)
+                return
+            if ww2ogg:
+                if "vgmstream" in os.path.basename(ww2ogg):
+                    subprocess.run(
+                        [ww2ogg, "-o", os.path.join(out_dir, stem + ".wav"), f],
+                        check=True)
+                else:
+                    subprocess.run(
+                        [ww2ogg, f, "-o", os.path.join(out_dir, stem + ".ogg")],
+                        check=True)
+                return
+            needs_binary.append(os.path.basename(f))
+            raise RuntimeError(
+                f"{os.path.basename(f)}: Vorbis-codec .wem needs ww2ogg or "
+                "vgmstream-cli on PATH (PCM .wem decode natively)")
 
         await self.run_items(files, work, websocket, out_dir)
         await self.done(websocket)
