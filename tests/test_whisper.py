@@ -94,6 +94,22 @@ def test_greedy_decode_smoke(tiny_pair):
     assert isinstance(ids, list) and len(ids) <= 16
 
 
+def test_language_autodetect(tiny_pair):
+    """lang=None → detect_language picks the argmax language token from the
+    first decode step (reference whisper.decode autodetect,
+    transcribe/model.py:144-171)."""
+    _, path = tiny_pair
+    params, cfg = load_whisper(path)
+    asr = WhisperASR(params, cfg, max_tokens=16)
+    wav = (np.random.default_rng(2).standard_normal(16000) * 0.1).astype(np.float32)
+    lang = asr.detect_language(wav)
+    assert lang in asr.st.langs
+    # detection is deterministic and autodetected decode runs end-to-end
+    assert asr.detect_language(wav) == lang
+    ids = asr.transcribe_tokens(wav, lang=None)
+    assert isinstance(ids, list)
+
+
 def test_transcribe_tool_with_native_whisper(tiny_pair, tmp_path):
     """VERDICT #8 done-criterion: the transcribe tool produces metadata.csv
     from a local whisper .pt with no external backend registration."""

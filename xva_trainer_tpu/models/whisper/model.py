@@ -265,12 +265,44 @@ class WhisperASR:
 
         self._next = next_token
 
-    def transcribe_tokens(self, audio16k: np.ndarray, lang: str = "en") -> list:
+        @jax.jit
+        def lang_logits(p, feats):
+            # one decode step after SOT; probability mass over the language
+            # tokens is the detector (reference whisper.detect_language,
+            # transcribe/model.py:144-171 → whisper/decoding.py)
+            buf = jnp.zeros((1, self.max_tokens), jnp.int32)
+            buf = buf.at[0, 0].set(self.st.sot)
+            logits = self.model.apply(p, buf, feats,
+                                      method=Whisper.decode_logits)
+            row = logits[0, 0]
+            n = len(self.st.langs)
+            return row[self.st.lang_base: self.st.lang_base + n]
+
+        self._lang_logits = lang_logits
+
+    def detect_language(self, audio16k_or_feats, is_feats: bool = False) -> str:
+        """Most-probable language code from the first decode step (the
+        reference's whisper.decode language autodetect path)."""
+        if not self.cfg.multilingual:
+            return "en"
+        if is_feats:
+            feats = audio16k_or_feats
+        else:
+            mel = log_mel_spectrogram(audio16k_or_feats, self.cfg.n_mels)[None]
+            feats = self._encode(self.params, jnp.asarray(mel))
+        probs = np.asarray(self._lang_logits(self.params, feats))
+        return self.st.langs[int(np.argmax(probs))]
+
+    def transcribe_tokens(self, audio16k: np.ndarray,
+                          lang: Optional[str] = "en") -> list:
         mel = log_mel_spectrogram(audio16k, self.cfg.n_mels)[None]
         feats = self._encode(self.params, jnp.asarray(mel))
         st = self.st
         prefix = [st.sot]
         if self.cfg.multilingual:
+            # lang=None/"" → autodetect (reference whisper_lang "detect")
+            if not lang:
+                lang = self.detect_language(feats, is_feats=True)
             prefix += [st.lang_id(lang), st.transcribe]
         prefix.append(st.no_timestamps)
         buf = np.zeros((1, self.max_tokens), np.int32)
