@@ -278,6 +278,9 @@ class TrainingSession:
             # UI sends "true"/"false" strings; default on (reference :551)
             use_amp=str(data.get("use_amp", "true")).lower()
             in ("1", "true", "yes", "on"),
+            # per-queue-item config (reference train.js:711-747)
+            force_stage=int(data.get("force_stage") or 0),
+            epochs_per_checkpoint=int(data.get("bkp_every_x") or 1),
         )
         await asyncio.to_thread(
             functools.partial(train_v2_pipeline, cfg,
@@ -441,6 +444,35 @@ class AppServer:
                     "index": self.training.queue_index,
                     "running": self.training.running(),
                     "paused": self.training.paused}
+        if path == "/resourceUsage":
+            # host CPU/RAM/disk + TPU HBM (reference node-nvidia-smi graphs,
+            # package.json:17-26 — utils/telemetry.py)
+            from ..utils.telemetry import snapshot
+
+            return snapshot(body.get("disk_path", "/"))
+        if path == "/toolSettingsSchema":
+            # UI generates per-tool settings forms from this (reference
+            # hand-built panels, javascript/tools.js:82-488)
+            from ..tools.schema import TOOL_SETTINGS_SCHEMA
+
+            return {"schema": TOOL_SETTINGS_SCHEMA}
+        if path == "/updateQueueItem":
+            # per-queue-item training config edits (reference
+            # javascript/train.js:711-747)
+            i = int(body["index"])
+            if 0 <= i < len(self.training.queue):
+                if body.get("remove"):
+                    if i > self.training.queue_index or not self.training.running():
+                        self.training.queue.pop(i)
+                        if i < self.training.queue_index:
+                            self.training.queue_index -= 1
+                    else:
+                        return {"ok": False, "error": "item already started"}
+                elif isinstance(body.get("config"), dict):
+                    self.training.queue[i].update(body["config"])
+                self.training.save_queue()
+                return {"ok": True, "queue": self.training.queue}
+            return {"ok": False, "error": "bad index"}
         return {"error": f"unknown path {path}"}
 
     def _dataset_info(self, dataset_path: str) -> Dict:
@@ -457,6 +489,19 @@ class AppServer:
                 rows = [ln for ln in f.read().split("\n") if ln.strip()]
         # parse raw rows (read_metadata drops rows whose wav is missing —
         # the explorer must SHOW those as exists:false, script.js:243-316)
+        # per-record WER column from the wer_evaluation tool's report
+        # (reference explorer WER column, script.js:243-316 + index.html:59-74)
+        wers = {}
+        wer_path = os.path.join(dataset_path, "wer_report.txt")
+        if os.path.exists(wer_path):
+            with open(wer_path, encoding="utf8") as f:
+                for ln in f:
+                    p = [x.strip() for x in ln.split("|")]
+                    if len(p) >= 2:
+                        try:
+                            wers[p[1]] = float(p[0])
+                        except ValueError:
+                            pass
         for line in rows:
             parts = line.split("|")
             stem = os.path.splitext(parts[0])[0]
@@ -464,11 +509,14 @@ class AppServer:
             if name in seen:
                 dupes.append(name)
             seen.add(name)
-            items.append({
+            item = {
                 "name": name,
                 "text": parts[1] if len(parts) > 1 else "",
                 "exists": os.path.exists(os.path.join(wav_dir, name)),
-            })
+            }
+            if stem in wers:
+                item["wer"] = wers[stem]
+            items.append(item)
         extra = []
         if os.path.isdir(wav_dir):
             extra = sorted(set(os.listdir(wav_dir)) - seen)
@@ -696,6 +744,28 @@ class AppServer:
                     self.send_header("Content-Length", str(len(page)))
                     self.end_headers()
                     self.wfile.write(page)
+                    return
+                if self.command == "GET" and self.path.startswith("/audio"):
+                    # per-record preview player (reference explorer plays the
+                    # record's wav — javascript/script.js:243-316). Restricted
+                    # to the dataset's wav dirs (no path traversal).
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    ds = (q.get("path") or [""])[0]
+                    name = os.path.basename((q.get("name") or [""])[0])
+                    for sub in ("wavs", "wavs_postprocessed"):
+                        p = os.path.join(ds, sub, name)
+                        if name and os.path.isfile(p):
+                            with open(p, "rb") as f:
+                                raw = f.read()
+                            self.send_response(200)
+                            self.send_header("Content-Type", "audio/wav")
+                            self.send_header("Content-Length", str(len(raw)))
+                            self.end_headers()
+                            self.wfile.write(raw)
+                            return
+                    self._respond(b'{"error": "not found"}', 404)
                     return
                 if self.path.startswith("/uploadRecording"):
                     # raw wav bytes; dataset/name in the query string
