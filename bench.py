@@ -98,8 +98,10 @@ REFERENCE_XVAP_FRAMES_PER_SEC = 8750.0
 
 def main():
     # Watchdog: at the budget, print whatever is ready and exit 0. Daemon so
-    # a clean early finish doesn't wait on it.
-    threading.Timer(max(_remaining(), 1.0), _emit_and_exit).start()
+    # neither a clean early finish nor an early crash waits out the budget.
+    _wd = threading.Timer(max(_remaining(), 1.0), _emit_and_exit)
+    _wd.daemon = True
+    _wd.start()
     setup_jax_cache()
 
     r = bench_mel()

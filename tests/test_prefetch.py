@@ -115,3 +115,52 @@ def test_prefetcher_overlaps_producer_and_consumer():
         time.sleep(0.05)  # "device step"
     wall = time.perf_counter() - t0
     assert wall < 0.55, wall  # serial would be ≥0.6
+
+
+def test_pack_rebuilds_after_mismatch(tmp_path):
+    """Interrupted pack_cache (index/bin disagree) must be detected, and the
+    reader must refuse the stale pair instead of serving wrong bytes."""
+    ds = _make_dataset(tmp_path, n=3)
+    cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)
+    cache.build()
+    bin_path = os.path.join(cache.cache_dir, "packed.bin")
+    # truncate the bin (simulates dying between the two os.replace calls)
+    with open(bin_path, "r+b") as f:
+        f.truncate(os.path.getsize(bin_path) // 2)
+    reader = PackedReader(cache.cache_dir)
+    assert not reader  # size mismatch → refuses the pair
+    # pack_cache notices too and rebuilds instead of reporting up-to-date
+    pack_cache(cache.cache_dir)
+    reader = PackedReader(cache.cache_dir)
+    assert reader
+    assert reader.load(cache.items[0].item_id) is not None
+    # deleted bin with surviving index must also trigger a rebuild
+    os.remove(bin_path)
+    pack_cache(cache.cache_dir)
+    assert PackedReader(cache.cache_dir)
+
+
+def test_fastpitch_init_without_prior(tmp_path):
+    """force_stage=2 with pre-extracted durations uses a with_prior=False
+    batcher; _init_params must synthesize the prior instead of KeyError."""
+    from xva_trainer_tpu.train.fastpitch_trainer import (
+        FastPitchTrainConfig, FastPitchTrainer)
+    from xva_trainer_tpu.models.fastpitch import FastPitchConfig
+
+    ds = _make_dataset(tmp_path, n=4)
+    cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)
+    cache.build()
+    batcher = BucketBatcher(cache, batch_size=2, buckets=[Bucket(64, 256)],
+                            with_prior=False)
+    cfg = FastPitchTrainConfig(output_dir=str(tmp_path / "out"), batch_size=2,
+                               force_stage=2)
+    mcfg = FastPitchConfig(n_symbols=200, symbols_embedding_dim=32,
+                           in_fft_n_layers=1, out_fft_n_layers=1,
+                           in_fft_filter_size=64, out_fft_filter_size=64,
+                           in_fft_d_head=16, out_fft_d_head=16,
+                           predictor_filter_size=32)
+    tr = FastPitchTrainer(cache, cfg, mcfg)
+    batch = next(batcher.epoch(shuffle=False))
+    assert "prior" not in batch
+    params = tr._init_params(batcher)
+    assert params is not None

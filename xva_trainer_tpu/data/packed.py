@@ -39,13 +39,21 @@ def pack_cache(cache_dir: str) -> Optional[str]:
     if not files:
         return None
     idx_path = os.path.join(cache_dir, PACK_IDX)
+    bin_path_check = os.path.join(cache_dir, PACK_BIN)
     stamp = [(f, os.path.getmtime(os.path.join(cache_dir, f))) for f in files]
     if os.path.exists(idx_path):
         try:
             with open(idx_path) as fh:
                 old = json.load(fh)
-            if old.get("stamp") == [[f, m] for f, m in stamp]:
-                return idx_path  # up to date
+            # up to date only if the bin still exists AND is the one this
+            # index was written for (a crash between the two os.replace
+            # calls below, or a deleted bin, must trigger a rebuild — a
+            # stale index silently maps into wrong bytes otherwise)
+            if (old.get("stamp") == [[f, m] for f, m in stamp]
+                    and os.path.exists(bin_path_check)
+                    and os.path.getsize(bin_path_check)
+                    == old.get("bin_size")):
+                return idx_path
         except (json.JSONDecodeError, OSError):
             pass
     index: Dict[str, Dict] = {}
@@ -73,7 +81,8 @@ def pack_cache(cache_dir: str) -> Optional[str]:
     os.replace(tmp_bin, bin_path)
     tmp_idx = idx_path + ".tmp"
     with open(tmp_idx, "w") as fh:
-        json.dump({"stamp": [[f, m] for f, m in stamp], "items": index}, fh)
+        json.dump({"stamp": [[f, m] for f, m in stamp], "bin_size": off,
+                   "items": index}, fh)
     os.replace(tmp_idx, idx_path)
     return idx_path
 
@@ -95,8 +104,15 @@ class PackedReader:
             return
         try:
             with open(idx_path) as fh:
-                self.index = json.load(fh)["items"]
-            self._buf = np.memmap(bin_path, dtype=np.uint8, mode="r")
+                meta = json.load(fh)
+            buf = np.memmap(bin_path, dtype=np.uint8, mode="r")
+            # reject an index/bin pair that disagrees (interrupted
+            # pack_cache): offsets from the old index into a new bin would
+            # return wrong feature bytes silently
+            if ("bin_size" in meta and meta["bin_size"] != buf.size):
+                raise KeyError("packed index does not match packed.bin")
+            self.index = meta["items"]
+            self._buf = buf
         except (json.JSONDecodeError, OSError, KeyError):
             self.index = {}
             self._buf = None
@@ -113,6 +129,8 @@ class PackedReader:
             return None
         out = {}
         for k, (dtype, shape, off, nbytes) in entry.items():
+            if off + nbytes > self._buf.size:
+                return None  # truncated pack: caller falls back to the npz
             a = np.frombuffer(self._buf, dtype=np.dtype(dtype),
                               count=int(np.prod(shape, dtype=np.int64)),
                               offset=off)

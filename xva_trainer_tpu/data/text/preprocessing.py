@@ -568,7 +568,11 @@ class XvaTextPreprocessor:
                         # (pypinyin-equivalent of g2pC), then falls back to
                         # per-character lookups (han has no segmentation)
                         if cached is None and self.g2p_backend is not None:
-                            pin = self.g2p_backend(sp).replace("|", " ").strip()
+                            try:
+                                pin = (self.g2p_backend(sp)
+                                       .replace("|", " ").strip())
+                            except Exception:
+                                pin = ""
                             if pin:
                                 cached = self.g2p_cache[sp.lower()] = pin
                                 self._g2p_cache_dirty = True
@@ -584,12 +588,20 @@ class XvaTextPreprocessor:
                     if cached is not None:
                         sub_phonemes.append(" ".join(ipa_to_xvaarpabet(cached)))
                     elif self.g2p_backend is not None:
-                        ipa = self.g2p_backend(sp).replace("|", " ")
-                        self.g2p_cache[sp.lower()] = ipa
-                        self._g2p_cache_dirty = True
-                        sub_phonemes.append(" ".join(ipa_to_xvaarpabet(ipa)))
-                    # cache miss with no backend: drop the word (reference
-                    # behavior when use_g2p=False)
+                        # backend failures (empty stdout, dead binary,
+                        # timeout) must neither crash phonemization nor be
+                        # cached: an empty cache entry would permanently
+                        # silence the word even after the backend recovers
+                        try:
+                            ipa = self.g2p_backend(sp).replace("|", " ").strip()
+                        except Exception:
+                            ipa = ""
+                        if ipa:
+                            self.g2p_cache[sp.lower()] = ipa
+                            self._g2p_cache_dirty = True
+                            sub_phonemes.append(" ".join(ipa_to_xvaarpabet(ipa)))
+                    # cache miss with no backend (or a failed backend call):
+                    # drop the word (reference behavior when use_g2p=False)
                 part_phonemes.append(" ".join(sub_phonemes))
             phonemised.append(" _ ".join(part_phonemes))
 

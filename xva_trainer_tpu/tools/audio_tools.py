@@ -440,10 +440,14 @@ class Wem2OggTool(BaseTool):
                         [ww2ogg, f, "-o", os.path.join(out_dir, stem + ".ogg")],
                         check=True)
                 return
+            # collect instead of raising: every PCM .wem still converts, and
+            # the user gets ONE error naming all files that need the binary
             needs_binary.append(os.path.basename(f))
-            raise RuntimeError(
-                f"{os.path.basename(f)}: Vorbis-codec .wem needs ww2ogg or "
-                "vgmstream-cli on PATH (PCM .wem decode natively)")
 
         await self.run_items(files, work, websocket, out_dir)
+        if needs_binary:
+            raise RuntimeError(
+                f"{len(needs_binary)} Vorbis-codec .wem need ww2ogg or "
+                f"vgmstream-cli on PATH (PCM .wem decode natively): "
+                + ", ".join(sorted(needs_binary)[:20]))
         await self.done(websocket)

@@ -176,12 +176,20 @@ class FastPitchTrainer:
     def _init_params(self, batcher: BucketBatcher):
         batch = next(batcher.epoch(shuffle=False))
         rng = jax.random.PRNGKey(self.cfg.seed)
+        prior = batch.get("prior")
+        if prior is None:
+            # a with_prior=False batcher (stage 2 + pre-extracted durations,
+            # pipeline.batcher_for) omits the attention prior; init still
+            # traces the full graph, so feed zeros of the right shape
+            prior = np.zeros(
+                (batch["mel"].shape[0], batch["mel"].shape[1],
+                 batch["tokens"].shape[1]), np.float32)
         params = self.model.init(
             rng,
             jnp.asarray(batch["tokens"]), jnp.asarray(batch["in_lens"]),
             jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_lens"]),
             jnp.asarray(batch["pitch"]), jnp.asarray(batch["energy"]),
-            jnp.asarray(batch["prior"]),
+            jnp.asarray(prior),
         )
         return params
 

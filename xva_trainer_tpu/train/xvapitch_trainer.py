@@ -513,7 +513,11 @@ class XVAPitchTrainer:
             return next(iterators[key]), key == "ft"
         except StopIteration:
             if key == "ft" and self.cfg.do_loss_sorting and self.loss_sampling:
-                self.batcher.resample_by_loss(self.loss_sampling)
+                # runs on the Prefetcher worker thread while the consumer
+                # inserts into loss_sampling at gam boundaries — snapshot
+                # first (dict copy is atomic under the GIL; iterating the
+                # live dict would raise "changed size during iteration")
+                self.batcher.resample_by_loss(dict(self.loss_sampling))
             src = self.batcher if key == "ft" else self.priors_batcher
             iterators[key] = src.epoch()
             return next(iterators[key]), key == "ft"
@@ -616,6 +620,11 @@ class XVAPitchTrainer:
                         f"Stage: {self.stage} | Steps: {self.training_iters} | "
                         f"Loss: {loss:.4f} | Disc: {disc_loss:.4f} | frames/s {int(fps)}"
                     )
+                    # executed-schedule copy of _batch_stream's local
+                    # counters: the stream runs ahead by the prefetch depth,
+                    # so these lag it by design — they only seed a NEW stream
+                    # (train() re-entered after stop) from the last step that
+                    # actually ran, never the live schedule
                     self.finetune_counter += 1
                     self.finetune_it = True
                     if self.finetune_counter >= self.cfg.finetune_weight:

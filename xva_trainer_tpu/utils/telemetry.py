@@ -77,10 +77,26 @@ def disk_usage(path: str = "/") -> Dict[str, float]:
 
 
 def device_memory() -> Dict[str, float]:
-    """Accelerator HBM in use / limit (zeros when stats are unavailable)."""
-    try:
-        import jax
+    """Accelerator HBM in use / limit (zeros when stats are unavailable).
 
+    Only reads stats from an ALREADY-initialized backend: initializing the
+    tunneled-TPU backend can block indefinitely when the tunnel is down, and
+    this runs inside the /resourceUsage HTTP handler under 3s UI polling —
+    a hang here would leak a handler thread per poll. Before the first
+    trainer/tool touches jax this simply reports zeros.
+    """
+    try:
+        import sys
+
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return {"platform": "uninitialized", "used_gb": 0.0,
+                    "total_gb": 0.0, "percent": 0.0}
+        from jax._src import xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            return {"platform": "uninitialized", "used_gb": 0.0,
+                    "total_gb": 0.0, "percent": 0.0}
         dev = jax.local_devices()[0]
         stats = dev.memory_stats() or {}
         used = float(stats.get("bytes_in_use", 0))
