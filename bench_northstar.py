@@ -69,6 +69,12 @@ def main():
     from xva_trainer_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache(os.path.dirname(os.path.abspath(__file__)))
+    # same tunnel-down protection as bench.py: probe the default backend in
+    # a subprocess; fall back to CPU (and honor JAX_PLATFORMS=cpu, which the
+    # axon sitecustomize otherwise overrides)
+    from bench import probe_backend
+
+    report_platform = probe_backend()
 
     import jax
 
@@ -87,7 +93,8 @@ def main():
     from xva_trainer_tpu.train.early_stop import fastpitch_min_epochs
 
     os.makedirs(args.root, exist_ok=True)
-    report = {"clips": args.clips, "sec_per_clip": args.seconds_per_clip}
+    report = {"clips": args.clips, "sec_per_clip": args.seconds_per_clip,
+              "platform": report_platform}
 
     t0 = time.perf_counter()
     ds = build_dataset(args.root, args.clips, args.seconds_per_clip)
