@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--seconds-per-clip", type=float, default=6.0)
     ap.add_argument("--root", default="/tmp/xva_northstar")
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrunken model configs: validates the whole script "
+                         "quickly (numbers NOT meaningful — smoke mode only)")
     args = ap.parse_args()
 
     from xva_trainer_tpu.utils.cache import enable_persistent_cache
@@ -111,7 +114,22 @@ def main():
 
     out_dir = os.path.join(args.root, "out")
     cfg = FastPitchTrainConfig(output_dir=out_dir, batch_size=args.batch_size)
-    tr = FastPitchTrainer(cache, cfg, FastPitchConfig())
+    if args.tiny:
+        from xva_trainer_tpu.models.hifigan import HifiganConfig
+
+        model_cfg = FastPitchConfig(
+            symbols_embedding_dim=64, in_fft_n_layers=1, out_fft_n_layers=1,
+            in_fft_d_head=32, out_fft_d_head=32, in_fft_filter_size=64,
+            out_fft_filter_size=64, predictor_filter_size=32)
+        hifi_gen_cfg = HifiganConfig(
+            upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),))
+        report["tiny_smoke_mode"] = True
+    else:
+        from xva_trainer_tpu.models.hifigan import HifiganConfig
+
+        model_cfg, hifi_gen_cfg = FastPitchConfig(), HifiganConfig()
+    tr = FastPitchTrainer(cache, cfg, model_cfg)
     max_len = cache.max_file_len_sec()
     n_dev = len(jax.devices())
 
@@ -156,8 +174,9 @@ def main():
     # ---- HiFi-GAN (stage 5) ----
     t0 = time.perf_counter()
     hcfg = HifiganTrainConfig(output_dir=os.path.join(out_dir, "hifi"),
-                              batch_size=16)
-    hifi = HifiganTrainer(ds, hcfg)
+                              batch_size=16,
+                              data_mult=1 if args.tiny else None)
+    hifi = HifiganTrainer(ds, hcfg, hifi_gen_cfg)
     hifi.setup(resume=False)
     report["hifi_setup_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()

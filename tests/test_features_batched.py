@@ -1,0 +1,124 @@
+"""Batched on-device feature extraction (ops/yin.py, ops/features.py) parity
+with the serial per-item cache-build paths."""
+import os
+
+import numpy as np
+import pytest
+
+from xva_trainer_tpu.data import FeatureCache, save_wav
+from xva_trainer_tpu.data.pitch import yin_f0
+from xva_trainer_tpu.data.text import TextProcessor
+from xva_trainer_tpu.ops.features import featurize_batch
+from xva_trainer_tpu.ops.stft import DEFAULT_MEL
+
+
+def _tone(f0, sec, sr=22050, vibrato=0.0):
+    t = np.arange(int(sr * sec)) / sr
+    inst = f0 * (1.0 + vibrato * np.sin(2 * np.pi * 5.0 * t))
+    phase = 2 * np.pi * np.cumsum(inst) / sr
+    y = 0.5 * np.sin(phase) + 0.15 * np.sin(2 * phase)
+    return y.astype(np.float32)
+
+
+def test_yin_batch_matches_numpy_yin():
+    import jax.numpy as jnp
+
+    from xva_trainer_tpu.ops.yin import yin_f0_batch
+
+    sr, hop, W = 22050, 256, 1024
+    rng = np.random.default_rng(0)
+    waves = [
+        _tone(110.0, 0.7),
+        _tone(440.0, 0.7, vibrato=0.02),
+        (0.001 * rng.standard_normal(int(sr * 0.7))).astype(np.float32),
+    ]
+    waves = [y[: len(y) // hop * hop] for y in waves]
+    T = max(len(y) for y in waves)
+    pad = W // 2
+    buf = np.zeros((len(waves), T + W), np.float32)
+    for i, y in enumerate(waves):
+        buf[i, : len(y) + 2 * pad] = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = 1 + T // hop
+    got = np.asarray(yin_f0_batch(jnp.asarray(buf), sr=sr, frame_length=W,
+                                  hop_length=hop, n_frames=n_frames))
+    for i, y in enumerate(waves):
+        ref = yin_f0(y, sr, W, hop, use_native=False)
+        n = len(y) // hop
+        g, r = got[i, :n], ref[:n]
+        voiced_agree = np.mean((g > 0) == (r > 0))
+        assert voiced_agree > 0.97, voiced_agree
+        both = (g > 0) & (r > 0)
+        if both.any():
+            rel = np.abs(g[both] - r[both]) / r[both]
+            assert np.percentile(rel, 95) < 0.02, np.percentile(rel, 95)
+    # the noise row must be (almost) entirely unvoiced
+    n2 = len(waves[2]) // hop
+    assert np.mean(got[2, :n2] == 0) > 0.95
+
+
+def test_featurize_batch_matches_serial_mel():
+    """Per-item host reflect + center=None framing must reproduce the serial
+    center=True mel exactly for every kept frame."""
+    import jax.numpy as jnp
+
+    from xva_trainer_tpu.ops.stft import mel_spectrogram
+
+    hop = DEFAULT_MEL.hop_length
+    waves = [_tone(155.0, 0.61), _tone(220.0, 1.13)]
+    waves = [y[: len(y) // hop * hop] for y in waves]
+    feats = featurize_batch(waves, DEFAULT_MEL)
+    for y, f in zip(waves, feats):
+        ref = np.asarray(mel_spectrogram(jnp.asarray(y)[None])[0])
+        n = len(y) // hop
+        np.testing.assert_allclose(f["mel"], ref[:, :n], atol=2e-4, rtol=0)
+        ref_energy = np.linalg.norm(ref[:, :n], ord=2, axis=0)
+        np.testing.assert_allclose(f["energy"], ref_energy, atol=2e-3, rtol=0)
+
+
+def test_featurize_batch_linear_mode():
+    from xva_trainer_tpu.ops.stft import linear_spectrogram
+    import jax.numpy as jnp
+
+    hop = DEFAULT_MEL.hop_length
+    y = _tone(200.0, 0.8)[: 17 * 1024]
+    y = y[: len(y) // hop * hop]
+    f = featurize_batch([y], DEFAULT_MEL, mode="linear")[0]
+    ref = np.asarray(linear_spectrogram(jnp.asarray(y)[None])[0])
+    n = len(y) // hop
+    assert f["linear"].shape == (DEFAULT_MEL.n_fft // 2 + 1, n)
+    np.testing.assert_allclose(f["linear"], ref[:, :n], atol=2e-3, rtol=0)
+
+
+def _make_dataset(tmp_path, n=4):
+    ds = tmp_path / "ds"
+    (ds / "wavs").mkdir(parents=True)
+    lines = []
+    for i in range(n):
+        y = _tone(120.0 + 40 * i, 0.6 + 0.2 * i)
+        save_wav(str(ds / "wavs" / f"it{i}.wav"), y)
+        lines.append(f"it{i}.wav|utterance number {i}")
+    (ds / "metadata.csv").write_text("\n".join(lines))
+    return str(ds)
+
+
+def test_cache_build_batched_vs_serial(tmp_path):
+    tp = TextProcessor()
+    ds_a = _make_dataset(tmp_path / "a")
+    ds_b = _make_dataset(tmp_path / "b")
+    ca = FeatureCache(ds_a, tp.encode, use_pallas=False)
+    ca.build(batched=True)
+    cb = FeatureCache(ds_b, tp.encode, use_pallas=False)
+    cb.build(batched=False)
+    assert len(ca.items) == len(cb.items)
+    for ia, ib in zip(ca.items, cb.items):
+        da, db = ca.load_item(ia), cb.load_item(ib)
+        assert da["mel"].shape == db["mel"].shape
+        np.testing.assert_allclose(da["mel"], db["mel"], atol=2e-4)
+        # pitch: device YIN vs native/numpy YIN — voiced frames close
+        both = (da["pitch"] > 0) & (db["pitch"] > 0)
+        agree = np.mean((da["pitch"] > 0) == (db["pitch"] > 0))
+        assert agree > 0.95, agree
+        if both.any():
+            rel = np.abs(da["pitch"][both] - db["pitch"][both]) / db["pitch"][both]
+            assert np.percentile(rel, 95) < 0.02
+        np.testing.assert_array_equal(da["tokens"], db["tokens"])

@@ -157,34 +157,98 @@ class FeatureCache:
                 longest = max(longest, wav_duration(it.wav_path))
         return longest or 10.0
 
-    def build(self, progress: Optional[Callable[[int, int], None]] = None) -> None:
-        """Compute features for all items missing from the cache."""
+    def build(self, progress: Optional[Callable[[int, int], None]] = None,
+              batched: Optional[bool] = None) -> None:
+        """Compute features for all items missing from the cache.
+
+        batched (default on, ``XVA_BATCHED_BUILD=0`` disables): wav decode on
+        a thread pool, then mel + YIN f0 + energy for a whole length-bucket
+        of items in ONE jitted device call (ops/features.py) — a 1200-clip
+        build costs a handful of dispatches instead of one device mel + one
+        host YIN round trip per item. Falls back to the serial path per item
+        on any batched-extraction failure.
+        """
+        todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
+        if batched is None:
+            batched = os.environ.get("XVA_BATCHED_BUILD", "1") != "0"
+        done = 0
+
+        def decode(item):
+            try:
+                y, _sr = load_wav(item.wav_path,
+                                  target_sr=self.mel_cfg.sample_rate)
+            except Exception:
+                return None
+            hop = self.mel_cfg.hop_length
+            y = y[: len(y) // hop * hop]
+            return y if len(y) >= hop * 4 else False  # False: skip, keep item
+
+        if batched and todo:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..ops.features import featurize_batch
+
+            try:
+                # bounded chunks: decode fan-out (the C++ wav reader releases
+                # the GIL) then one device dispatch per length bucket
+                CHUNK = 256
+                with ThreadPoolExecutor(
+                        max_workers=max(2, (os.cpu_count() or 2))) as ex:
+                    for c0 in range(0, len(todo), CHUNK):
+                        chunk_items = todo[c0: c0 + CHUNK]
+                        decoded = list(ex.map(decode, chunk_items))
+                        for it, y in zip(chunk_items, decoded):
+                            if y is None:
+                                heal_corrupt_item(self, it)
+                        good = [(it, y) for it, y in zip(chunk_items, decoded)
+                                if y is not None and y is not False]
+                        feats = featurize_batch([y for _, y in good],
+                                                self.mel_cfg)
+                        for (item, y), f in zip(good, feats):
+                            np.savez(
+                                self._cache_path(item),
+                                mel=f["mel"], pitch=f["pitch"],
+                                energy=f["energy"],
+                                tokens=np.asarray(
+                                    self.text_to_ids(item.text), np.int32),
+                                wav_len=np.int32(len(y)),
+                            )
+                            done += 1
+                            if progress:
+                                progress(done, len(todo))
+                self.pack()
+                return
+            except Exception:
+                import logging
+
+                logging.getLogger("xva").exception(
+                    "batched cache build failed — falling back to serial")
+
         import jax.numpy as jnp
 
         from ..ops.stft import mel_spectrogram
         from ..ops.pallas_stft import mel_spectrogram_pallas
 
-        todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         for i, item in enumerate(todo):
-            try:
-                y, sr = load_wav(item.wav_path, target_sr=self.mel_cfg.sample_rate)
-            except Exception:
+            if os.path.exists(self._cache_path(item)):
+                continue  # written by a partial batched pass above
+            y = decode(item)
+            if y is None:
                 # corrupt-wav self-healing: drop the item and keep building
                 # (reference deletes unreadable wavs on load,
                 # xvapitch/dataset.py:335-338)
                 heal_corrupt_item(self, item)
                 continue
-            # frame-align the waveform (static hop multiple)
-            hop = self.mel_cfg.hop_length
-            y = y[: len(y) // hop * hop]
-            if len(y) < hop * 4:
+            if y is False:
                 continue
+            hop = self.mel_cfg.hop_length
             if self.use_pallas:
                 mel = np.asarray(mel_spectrogram_pallas(jnp.asarray(y)[None])[0])
             else:
                 mel = np.asarray(mel_spectrogram(jnp.asarray(y)[None])[0])
             mel = mel[:, : len(y) // hop]  # drop the +1 centered tail frame
-            pitch = yin_f0(y, sr, self.mel_cfg.n_fft, hop)[: mel.shape[1]]
+            pitch = yin_f0(y, self.mel_cfg.sample_rate, self.mel_cfg.n_fft,
+                           hop)[: mel.shape[1]]
             if len(pitch) < mel.shape[1]:
                 pitch = np.pad(pitch, (0, mel.shape[1] - len(pitch)))
             energy = np.linalg.norm(mel, ord=2, axis=0)  # reference data_function.py:327

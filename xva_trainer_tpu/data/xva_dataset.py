@@ -77,14 +77,86 @@ class XvaFeatureCache:
     def _cache_path(self, item: Utterance) -> str:
         return os.path.join(self.cache_dir, item.item_id + ".npz")
 
-    def build(self, progress=None) -> None:
+    def _decode_item(self, item: Utterance):
+        """Wav samples for one item (postprocessed preferred, healing on
+        corruption) truncated to a hop multiple; None = healed away,
+        False = too short (skip silently)."""
+        post = os.path.join(self.dataset_path, "wavs_postprocessed",
+                            os.path.basename(item.wav_path))
+        src = post if os.path.exists(post) else item.wav_path
+        try:
+            y, _ = load_wav(src, target_sr=self.mel_cfg.sample_rate)
+        except Exception:
+            if src != item.wav_path:
+                try:
+                    y, _ = load_wav(item.wav_path,
+                                    target_sr=self.mel_cfg.sample_rate)
+                except Exception:
+                    heal_corrupt_item(self, item, bad_path=item.wav_path)
+                    return None
+            else:
+                heal_corrupt_item(self, item, bad_path=src)
+                return None
+        hop = self.mel_cfg.hop_length
+        y = y[: len(y) // hop * hop]
+        return y if len(y) >= hop * 40 else False  # skip sub-0.5s clips
+
+    def build(self, progress=None, batched: Optional[bool] = None) -> None:
         import jax.numpy as jnp
 
         from ..ops.stft import linear_spectrogram
         from ..ops.pallas_stft import mel_spectrogram_pallas
 
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
+        if batched is None:
+            batched = os.environ.get("XVA_BATCHED_BUILD", "1") != "0"
+        if batched and todo:
+            # thread-pool decode + one device dispatch per length bucket
+            # (mel/linear + YIN f0 + energy in a single jit — ops/features.py)
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..ops.features import featurize_batch
+
+            try:
+                done = 0
+                CHUNK = 256
+                with ThreadPoolExecutor(
+                        max_workers=max(2, (os.cpu_count() or 2))) as ex:
+                    for c0 in range(0, len(todo), CHUNK):
+                        chunk_items = todo[c0: c0 + CHUNK]
+                        decoded = list(ex.map(self._decode_item, chunk_items))
+                        good = [(it, y) for it, y in zip(chunk_items, decoded)
+                                if y is not None and y is not False]
+                        feats = featurize_batch(
+                            [y for _, y in good], self.mel_cfg, mode="linear")
+                        for (item, y), f in zip(good, feats):
+                            pitch = np.where(
+                                f["pitch"] > 0,
+                                (f["pitch"] - XVASPEECH_PITCH_MEAN)
+                                / XVASPEECH_PITCH_STD, 0.0).astype(np.float32)
+                            np.savez(
+                                self._cache_path(item),
+                                linear=f["linear"], pitch=pitch,
+                                energy=f["energy"],
+                                tokens=np.asarray(
+                                    self.text_to_ids(item.text), np.int32),
+                                wav=y.astype(np.float32),
+                                lang_id=np.int32(self.lang_id),
+                            )
+                            done += 1
+                            if progress:
+                                progress(done, len(todo))
+                self.pack()
+                return
+            except Exception:
+                import logging
+
+                logging.getLogger("xva").exception(
+                    "batched v3 cache build failed — falling back to serial")
+
         for i, item in enumerate(todo):
+            if os.path.exists(self._cache_path(item)):
+                continue  # written by a partial batched pass above
             # prefer loudness-normalized audio when the preprocess step ran
             # (reference xva_train.py preprocess_audio:1368-1390 writes
             # wavs_postprocessed/ and the dataset reads from there)

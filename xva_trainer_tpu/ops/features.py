@@ -1,0 +1,107 @@
+"""Batched on-device feature extraction for cache builds.
+
+The reference recomputes mel/pitch per item on host CPU every epoch
+(python/xvapitch/dataset.py:223-275); round 1 cached them but still issued
+one device mel dispatch + one host C++ YIN call per utterance. Here a whole
+*bucket* of utterances is featurized in ONE jitted device call — mel
+(Tacotron semantics), YIN f0 (ops/yin.py) and per-frame energy share the
+same frame grid and the same HBM-resident frames, so a 1200-clip cache build
+costs a handful of dispatches instead of 2400 round trips (the dominant cost
+over a tunneled device, and the non-chip-scaling term of the BASELINE
+north-star).
+
+Exact parity with the serial path: each item is reflect-padded ``n_fft//2``
+on the host with ITS OWN samples before being placed into the zero-padded
+bucket buffer, and the STFT runs with ``center=None`` (no further padding) —
+so every kept frame sees exactly the samples the per-item ``center=True``
+computation would have seen. Bucket lengths come from a coarse ladder
+(multiples of ``chunk``) so XLA compiles only a few shapes per dataset.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from .stft import DEFAULT_MEL, MelConfig, mel_filterbank, stft_magnitude
+from .stft import dynamic_range_compression
+
+
+def _extract(y_padded, cfg: MelConfig, n_frames: int, mode: str):
+    import jax.numpy as jnp
+
+    from .yin import yin_f0_batch
+
+    mag = stft_magnitude(y_padded, cfg, center=None)  # (B, n_freqs, F)
+    if mode == "linear":
+        # v3 cache: raw 513-ch magnitude (VITS posterior input), energy over
+        # the log-compressed spec (data/xva_dataset.py build parity)
+        spec = mag
+        energy = jnp.sqrt(jnp.sum(
+            jnp.square(dynamic_range_compression(mag, 1e-5)), axis=1))
+    else:
+        basis = jnp.asarray(mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+        spec = dynamic_range_compression(
+            jnp.einsum("mf,bft->bmt", basis, mag), cfg.clip_val)
+        energy = jnp.sqrt(jnp.sum(spec * spec, axis=1))  # ||log-mel||2
+    f0 = yin_f0_batch(
+        y_padded, sr=cfg.sample_rate, frame_length=cfg.n_fft,
+        hop_length=cfg.hop_length, n_frames=n_frames)
+    return spec, f0, energy
+
+
+@functools.lru_cache(maxsize=None)
+def _extractor(cfg: MelConfig, n_frames: int, mode: str):
+    import jax
+
+    return jax.jit(
+        functools.partial(_extract, cfg=cfg, n_frames=n_frames, mode=mode))
+
+
+def featurize_batch(
+    waves: List[np.ndarray],
+    cfg: MelConfig = DEFAULT_MEL,
+    chunk: int = 32768,
+    max_batch: int = 8,
+    mode: str = "mel",
+) -> List[Dict[str, np.ndarray]]:
+    """Featurize ``waves`` (each already truncated to a hop multiple) in as
+    few device dispatches as possible.
+
+    Returns one dict per wave: ``mel`` (n_mels, n) — or ``linear``
+    (n_freqs, n) with ``mode="linear"`` — plus ``pitch`` (n,) and ``energy``
+    (n,), with n = len(y)//hop: byte-identical slicing semantics to the
+    serial FeatureCache.build paths.
+    """
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    pad = n_fft // 2
+    key = "linear" if mode == "linear" else "mel"
+    order = sorted(range(len(waves)), key=lambda i: len(waves[i]))
+    out: List[Optional[Dict[str, np.ndarray]]] = [None] * len(waves)
+
+    import jax
+
+    for g0 in range(0, len(order), max_batch):
+        group = order[g0: g0 + max_batch]
+        t_slot = max(
+            ((len(waves[i]) + chunk - 1) // chunk) * chunk for i in group)
+        buf = np.zeros((len(group), t_slot + n_fft), np.float32)
+        for row, i in enumerate(group):
+            y = waves[i]
+            buf[row, : len(y) + 2 * pad] = np.pad(
+                y.astype(np.float32), (pad, pad), mode="reflect")
+        n_frames = 1 + t_slot // hop
+        spec, f0, energy = _extractor(cfg, n_frames, mode)(
+            jax.numpy.asarray(buf))
+        spec, f0, energy = (np.asarray(spec), np.asarray(f0),
+                            np.asarray(energy))
+        for row, i in enumerate(group):
+            n = len(waves[i]) // hop
+            out[i] = {
+                key: np.ascontiguousarray(spec[row, :, :n], np.float32),
+                "pitch": np.ascontiguousarray(f0[row, :n], np.float32),
+                "energy": np.ascontiguousarray(energy[row, :n], np.float32),
+            }
+    return out  # type: ignore[return-value]

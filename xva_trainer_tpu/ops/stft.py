@@ -113,10 +113,16 @@ def stft_magnitude(
     center=True  → reference Tacotron semantics (pad n_fft//2 reflect).
     center=False → reference HiFi-GAN semantics: caller is expected to have a
     signal of length T; we reflect-pad (n_fft-hop)//2 and use valid framing.
+    center=None  → NO padding: the caller pre-padded each item (host-side
+    per-item reflect of n_fft//2, ops/features.py batched cache build), so
+    frame t covers item[t*hop - n_fft//2 : t*hop + n_fft//2] exactly like
+    center=True; num_frames = 1 + (T - n_fft)//hop.
     """
     n_fft, hop = cfg.n_fft, cfg.hop_length
     T = y.shape[-1]
-    if center:
+    if center is None:
+        num_frames = 1 + (T - n_fft) // hop
+    elif center:
         y = _pad_reflect(y, n_fft // 2)
         num_frames = 1 + T // hop
     else:

@@ -79,6 +79,10 @@ class HifiganTrainConfig:
     # reference-parity D-first update ordering (one extra G forward/step);
     # default False — A/B'd equivalent, see make_gan_step docstring
     d_first: bool = False
+    # epoch-size multiplier; None = reference semantics (an "epoch" is ~1000
+    # items regardless of dataset size, meldataset.py:296-302). Smoke/bench
+    # runs set 1 for a single-pass epoch.
+    data_mult: Optional[int] = None
 
 
 def make_gan_step(
@@ -257,7 +261,8 @@ class HifiganTrainer:
         self.mesh = mesh or make_mesh()
         self.mel_cfg = mel_cfg
         self.logger = logger or TrainingLogger(cfg.output_dir)
-        self.sampler = SegmentSampler(dataset_path, cfg.batch_size, cfg.seed)
+        self.sampler = SegmentSampler(dataset_path, cfg.batch_size, cfg.seed,
+                                      data_mult=cfg.data_mult)
         # true epoch-boundary ExponentialLR: the lr lives in the optimizer
         # state (inject_hyperparams) and is stepped by finish_epoch, matching
         # the reference's per-epoch scheduler (xva_train.py:306-307) instead
