@@ -114,9 +114,9 @@ def main():
 
     out_dir = os.path.join(args.root, "out")
     cfg = FastPitchTrainConfig(output_dir=out_dir, batch_size=args.batch_size)
-    if args.tiny:
-        from xva_trainer_tpu.models.hifigan import HifiganConfig
+    from xva_trainer_tpu.models.hifigan import HifiganConfig
 
+    if args.tiny:
         model_cfg = FastPitchConfig(
             symbols_embedding_dim=64, in_fft_n_layers=1, out_fft_n_layers=1,
             in_fft_d_head=32, out_fft_d_head=32, in_fft_filter_size=64,
@@ -126,8 +126,6 @@ def main():
             resblock_dilation_sizes=((1, 3),))
         report["tiny_smoke_mode"] = True
     else:
-        from xva_trainer_tpu.models.hifigan import HifiganConfig
-
         model_cfg, hifi_gen_cfg = FastPitchConfig(), HifiganConfig()
     tr = FastPitchTrainer(cache, cfg, model_cfg)
     max_len = cache.max_file_len_sec()

@@ -89,6 +89,39 @@ def drop_known_corrupt(cache) -> None:
         cache.items = [it for it in cache.items if it.wav_path not in bad]
 
 
+def atomic_savez(path: str, **arrays) -> None:
+    """np.savez via tmp + os.replace: a crash mid-write (disk full, kill)
+    must never leave a truncated .npz behind — build()'s todo filter only
+    checks existence, so a partial file would be skipped forever and later
+    crash pack()/load_item."""
+    tmp = path + ".tmp"  # not *.npz: pack_cache must never index leftovers
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def sticky_mel_variant(cache_dir: str, prefer: str) -> str:
+    """One spectrogram variant per cache, persisted in ``.mel_variant``.
+
+    The serial TPU build uses the fused Pallas kernel while the batched
+    build uses the XLA-FFT path; both are <1e-3 from the torch reference but
+    differ from each other by ~1e-4 — a cache extended by the other variant
+    would silently mix the two. First build pins the variant; later builds
+    follow it.
+    """
+    p = os.path.join(cache_dir, ".mel_variant")
+    try:
+        if os.path.exists(p):
+            v = open(p, encoding="utf8").read().strip()
+            if v in ("fft", "pallas"):
+                return v
+        with open(p, "w", encoding="utf8") as f:
+            f.write(prefer)
+    except OSError:
+        pass
+    return prefer
+
+
 class FeatureCache:
     """Precompute-once mel/pitch/energy cache under <dataset>/.tpu_cache/."""
 
@@ -171,6 +204,19 @@ class FeatureCache:
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         if batched is None:
             batched = os.environ.get("XVA_BATCHED_BUILD", "1") != "0"
+        # one spectrogram variant per cache (see sticky_mel_variant): the
+        # batched path is FFT-only, so a pallas-pinned cache stays serial.
+        # An unmarked cache that already has entries predates the marker —
+        # pin it to what the serial build used on this host.
+        has_existing = any(f.endswith(".npz") for f in os.listdir(self.cache_dir))
+        serial_variant = "pallas" if self.use_pallas else "fft"
+        variant = sticky_mel_variant(
+            self.cache_dir,
+            serial_variant if (has_existing or not batched) else "fft")
+        if variant == "pallas":
+            batched = False
+        else:
+            self.use_pallas = False
         done = 0
 
         def decode(item):
@@ -205,7 +251,7 @@ class FeatureCache:
                         feats = featurize_batch([y for _, y in good],
                                                 self.mel_cfg)
                         for (item, y), f in zip(good, feats):
-                            np.savez(
+                            atomic_savez(
                                 self._cache_path(item),
                                 mel=f["mel"], pitch=f["pitch"],
                                 energy=f["energy"],
@@ -216,6 +262,11 @@ class FeatureCache:
                             done += 1
                             if progress:
                                 progress(done, len(todo))
+                        # healed/too-short items count as processed, so the
+                        # callback always reaches len(todo)
+                        done = c0 + len(chunk_items)
+                        if progress:
+                            progress(done, len(todo))
                 self.pack()
                 return
             except Exception:
@@ -233,13 +284,14 @@ class FeatureCache:
             if os.path.exists(self._cache_path(item)):
                 continue  # written by a partial batched pass above
             y = decode(item)
-            if y is None:
-                # corrupt-wav self-healing: drop the item and keep building
-                # (reference deletes unreadable wavs on load,
-                # xvapitch/dataset.py:335-338)
-                heal_corrupt_item(self, item)
-                continue
-            if y is False:
+            if y is None or y is False:
+                if y is None:
+                    # corrupt-wav self-healing: drop the item and keep
+                    # building (reference deletes unreadable wavs on load,
+                    # xvapitch/dataset.py:335-338)
+                    heal_corrupt_item(self, item)
+                if progress:  # healed/too-short still count as processed
+                    progress(i + 1, len(todo))
                 continue
             hop = self.mel_cfg.hop_length
             if self.use_pallas:
@@ -253,7 +305,7 @@ class FeatureCache:
                 pitch = np.pad(pitch, (0, mel.shape[1] - len(pitch)))
             energy = np.linalg.norm(mel, ord=2, axis=0)  # reference data_function.py:327
             tokens = np.asarray(self.text_to_ids(item.text), np.int32)
-            np.savez(
+            atomic_savez(
                 self._cache_path(item),
                 mel=mel.astype(np.float32),
                 pitch=pitch.astype(np.float32),

@@ -25,8 +25,8 @@ import numpy as np
 
 from ..ops.stft import DEFAULT_MEL, MelConfig
 from .audio_io import load_wav, resample
-from .dataset import (Bucket, Utterance, drop_known_corrupt,
-                      heal_corrupt_item, read_metadata)
+from .dataset import (Bucket, Utterance, atomic_savez, drop_known_corrupt,
+                      heal_corrupt_item, read_metadata, sticky_mel_variant)
 from .pitch import yin_f0
 
 # v3 normalizes pitch with fixed xVASpeech stats (reference dataset.py:157-158)
@@ -77,25 +77,33 @@ class XvaFeatureCache:
     def _cache_path(self, item: Utterance) -> str:
         return os.path.join(self.cache_dir, item.item_id + ".npz")
 
-    def _decode_item(self, item: Utterance):
-        """Wav samples for one item (postprocessed preferred, healing on
-        corruption) truncated to a hop multiple; None = healed away,
-        False = too short (skip silently)."""
+    def _decode_item(self, item: Utterance, heal: bool = True):
+        """Wav samples for one item (postprocessed preferred) truncated to a
+        hop multiple; None = corrupt, False = too short (skip silently).
+
+        heal=False defers heal_corrupt_item to the caller — REQUIRED from
+        thread-pool workers: healing mutates cache.items (read-filter-assign)
+        and appends to corrupt_wavs.txt, neither of which is thread-safe.
+        """
         post = os.path.join(self.dataset_path, "wavs_postprocessed",
                             os.path.basename(item.wav_path))
         src = post if os.path.exists(post) else item.wav_path
         try:
             y, _ = load_wav(src, target_sr=self.mel_cfg.sample_rate)
         except Exception:
+            # a truncated postprocessed file must not cost us the intact
+            # original — fall back before healing
             if src != item.wav_path:
                 try:
                     y, _ = load_wav(item.wav_path,
                                     target_sr=self.mel_cfg.sample_rate)
                 except Exception:
-                    heal_corrupt_item(self, item, bad_path=item.wav_path)
+                    if heal:
+                        heal_corrupt_item(self, item, bad_path=item.wav_path)
                     return None
             else:
-                heal_corrupt_item(self, item, bad_path=src)
+                if heal:
+                    heal_corrupt_item(self, item, bad_path=src)
                 return None
         hop = self.mel_cfg.hop_length
         y = y[: len(y) // hop * hop]
@@ -110,6 +118,16 @@ class XvaFeatureCache:
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         if batched is None:
             batched = os.environ.get("XVA_BATCHED_BUILD", "1") != "0"
+        # one spectrogram variant per cache (dataset.sticky_mel_variant)
+        has_existing = any(f.endswith(".npz") for f in os.listdir(self.cache_dir))
+        serial_variant = "pallas" if self.use_pallas else "fft"
+        variant = sticky_mel_variant(
+            self.cache_dir,
+            serial_variant if (has_existing or not batched) else "fft")
+        if variant == "pallas":
+            batched = False
+        else:
+            self.use_pallas = False
         if batched and todo:
             # thread-pool decode + one device dispatch per length bucket
             # (mel/linear + YIN f0 + energy in a single jit — ops/features.py)
@@ -124,7 +142,13 @@ class XvaFeatureCache:
                         max_workers=max(2, (os.cpu_count() or 2))) as ex:
                     for c0 in range(0, len(todo), CHUNK):
                         chunk_items = todo[c0: c0 + CHUNK]
-                        decoded = list(ex.map(self._decode_item, chunk_items))
+                        decoded = list(ex.map(
+                            lambda it: self._decode_item(it, heal=False),
+                            chunk_items))
+                        # heal on the MAIN thread (mutates items/corrupt list)
+                        for it, y in zip(chunk_items, decoded):
+                            if y is None:
+                                heal_corrupt_item(self, it)
                         good = [(it, y) for it, y in zip(chunk_items, decoded)
                                 if y is not None and y is not False]
                         feats = featurize_batch(
@@ -134,7 +158,7 @@ class XvaFeatureCache:
                                 f["pitch"] > 0,
                                 (f["pitch"] - XVASPEECH_PITCH_MEAN)
                                 / XVASPEECH_PITCH_STD, 0.0).astype(np.float32)
-                            np.savez(
+                            atomic_savez(
                                 self._cache_path(item),
                                 linear=f["linear"], pitch=pitch,
                                 energy=f["energy"],
@@ -146,6 +170,10 @@ class XvaFeatureCache:
                             done += 1
                             if progress:
                                 progress(done, len(todo))
+                        # healed/too-short items count as processed too
+                        done = c0 + len(chunk_items)
+                        if progress:
+                            progress(done, len(todo))
                 self.pack()
                 return
             except Exception:
@@ -157,32 +185,14 @@ class XvaFeatureCache:
         for i, item in enumerate(todo):
             if os.path.exists(self._cache_path(item)):
                 continue  # written by a partial batched pass above
-            # prefer loudness-normalized audio when the preprocess step ran
-            # (reference xva_train.py preprocess_audio:1368-1390 writes
-            # wavs_postprocessed/ and the dataset reads from there)
-            post = os.path.join(self.dataset_path, "wavs_postprocessed",
-                                os.path.basename(item.wav_path))
-            src = post if os.path.exists(post) else item.wav_path
-            try:
-                y, sr = load_wav(src, target_sr=self.mel_cfg.sample_rate)
-            except Exception:
-                # a truncated postprocessed file must not cost us the intact
-                # original — fall back before healing
-                if src != item.wav_path:
-                    try:
-                        y, sr = load_wav(item.wav_path,
-                                         target_sr=self.mel_cfg.sample_rate)
-                    except Exception:
-                        heal_corrupt_item(self, item, bad_path=item.wav_path)
-                        continue
-                else:
-                    # corrupt-wav self-healing (shared with the v2 cache)
-                    heal_corrupt_item(self, item, bad_path=src)
-                    continue
-            hop = self.mel_cfg.hop_length
-            y = y[: len(y) // hop * hop]
-            if len(y) < hop * 40:  # skip sub-0.5s clips
+            # decode policy shared with the batched path (postprocessed-wav
+            # preference + fallback-before-heal + hop*40 skip) — _decode_item
+            y = self._decode_item(item)
+            if y is None or y is False:
+                if progress:  # healed/too-short still count as processed
+                    progress(i + 1, len(todo))
                 continue
+            hop = self.mel_cfg.hop_length
             if self.use_pallas:
                 _, lin = mel_spectrogram_pallas(
                     jnp.asarray(y)[None], return_linear=True
@@ -191,7 +201,8 @@ class XvaFeatureCache:
             else:
                 lin = np.asarray(linear_spectrogram(jnp.asarray(y)[None])[0])
             lin = lin[:, : len(y) // hop]
-            pitch = yin_f0(y, sr, self.mel_cfg.n_fft, hop)[: lin.shape[1]]
+            pitch = yin_f0(y, self.mel_cfg.sample_rate, self.mel_cfg.n_fft,
+                           hop)[: lin.shape[1]]
             if len(pitch) < lin.shape[1]:
                 pitch = np.pad(pitch, (0, lin.shape[1] - len(pitch)))
             pitch = np.where(
@@ -201,7 +212,7 @@ class XvaFeatureCache:
             ).astype(np.float32)
             energy = np.linalg.norm(np.log(np.clip(lin, 1e-5, None)), axis=0)
             tokens = np.asarray(self.text_to_ids(item.text), np.int32)
-            np.savez(
+            atomic_savez(
                 self._cache_path(item),
                 linear=lin.astype(np.float32),
                 pitch=pitch,

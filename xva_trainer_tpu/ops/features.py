@@ -20,7 +20,7 @@ computation would have seen. Bucket lengths come from a coarse ladder
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

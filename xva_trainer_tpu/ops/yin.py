@@ -25,7 +25,9 @@ from ..data.pitch import FMAX, FMIN
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sr", "frame_length", "hop_length", "n_frames")
+    jax.jit,
+    static_argnames=("sr", "frame_length", "hop_length", "n_frames",
+                     "fmin", "fmax", "threshold"),
 )
 def yin_f0_batch(
     y_padded: jnp.ndarray,
