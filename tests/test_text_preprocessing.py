@@ -142,3 +142,21 @@ def test_chinese_pinyin_pipeline(tmp_path):
     symbols = [s for s in cleaned.split("|") if s != "<PAD>"]
     # phrase miss falls back to per-character cache lookups; H maps to HH
     assert symbols == ["N", "I3", "HH", "AO3", ",", "SH", "I4", "ZH", "IE4", "."]
+
+
+def test_chinese_longest_match_segmentation(tmp_path):
+    """A han run that misses the cache as a whole is segmented by greedy
+    longest-match against the cache vocabulary (role of the reference's
+    pkuseg ahead of g2pC, lib/_dev/pkuseg) — NOT straight to per-character."""
+    import os
+
+    from xva_trainer_tpu.data.text.preprocessing import get_text_preprocessor
+
+    os.makedirs(tmp_path / "g2p_cache")
+    (tmp_path / "g2p_cache" / "g2pc_cache_zh.txt").write_text(
+        "你好|ni3 hao3\n世|shi4\n", encoding="utf8")
+    tp = get_text_preprocessor("zh", str(tmp_path))
+    # "你好世" is not a cache key; "你好" (2 chars) + "世" (1 char) are
+    _, cleaned = tp.text_to_sequence("你好世")
+    symbols = [s for s in cleaned.split("|") if s != "<PAD>"]
+    assert symbols == ["N", "I3", "HH", "AO3", "SH", "I4"], symbols

@@ -579,11 +579,23 @@ class XvaTextPreprocessor:
                         if cached is not None:
                             sub_phonemes.append(" ".join(pinyin_symbols(cached)))
                         else:
-                            for ch in sp:
-                                c = self.g2p_cache.get(ch.lower())
-                                if c is not None:
-                                    sub_phonemes.append(
-                                        " ".join(pinyin_symbols(c)))
+                            # greedy longest-match against the cache
+                            # vocabulary (multi-char words): the role of the
+                            # reference's pkuseg segmentation ahead of g2pC
+                            # (lib/_dev/pkuseg); per-character is only the
+                            # last resort within each match step
+                            pos = 0
+                            max_w = min(8, len(sp))
+                            while pos < len(sp):
+                                for w in range(min(max_w, len(sp) - pos), 0, -1):
+                                    c = self.g2p_cache.get(sp[pos: pos + w].lower())
+                                    if c is not None:
+                                        sub_phonemes.append(
+                                            " ".join(pinyin_symbols(c)))
+                                        pos += w
+                                        break
+                                else:
+                                    pos += 1  # unknown char: drop it
                         continue
                     if cached is not None:
                         sub_phonemes.append(" ".join(ipa_to_xvaarpabet(cached)))
