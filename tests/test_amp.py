@@ -244,3 +244,22 @@ def test_fastpitch_stage4_step_amp(use_amp):
     leaves = jax.tree_util.tree_leaves(new_state.params)
     assert all(l.dtype == jnp.float32 for l in leaves
                if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_lion_optimizer_option():
+    """optimizer='lion' mirrors the reference --lion flag (lr/5, wd*5,
+    training_util.py:45-51) and produces finite updates."""
+    import jax.numpy as jnp
+    import optax
+
+    from xva_trainer_tpu.train.optim import make_gan_optimizer
+
+    tx = make_gan_optimizer(2e-4, kind="lion", grad_accum=2)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+    state = tx.init(params)
+    grads = {"w": jnp.full((4, 4), 0.1), "b": jnp.full(4, -0.2)}
+    for _ in range(2):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert all(bool(jnp.isfinite(v).all()) for v in params.values())
+    assert float(params["w"][0, 0]) != 1.0  # an update actually applied

@@ -68,20 +68,33 @@ def make_gan_optimizer(
     gamma: float = 0.999875,
     decay_every: int = 1,
     grad_accum: int = 1,
+    kind: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW with per-`decay_every`-steps exponential lr decay."""
+    """AdamW (default) or Lion with per-`decay_every`-steps exponential decay.
+
+    kind="lion" mirrors the reference's --lion flag scaling exactly: lr/5,
+    weight_decay*5, same betas (training_util.py:45-51).
+    """
+
+    if kind == "lion":
+        lr, weight_decay = lr / 5.0, weight_decay * 5.0
 
     def schedule(step):
         return lr * gamma ** (step // decay_every)
 
-    tx = optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+    if kind == "lion":
+        tx = optax.lion(schedule, b1=betas[0], b2=betas[1],
+                        weight_decay=weight_decay)
+    else:
+        tx = optax.adamw(schedule, b1=betas[0], b2=betas[1],
+                         weight_decay=weight_decay)
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 
 def make_lion_optimizer(lr: float = 2e-5, weight_decay: float = 0.01):
-    """Lion variant (reference training_util.py:24-47 optional path)."""
+    """Bare Lion (reference training_util.py:24-47 optional path)."""
     return optax.lion(lr, weight_decay=weight_decay)
 
 

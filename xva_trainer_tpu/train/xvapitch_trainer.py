@@ -64,6 +64,9 @@ class XvaTrainConfig:
     disc_lr: float = 2e-4
     lr_gamma: float = 0.999875
     weight_decay: float = 0.01
+    # "adamw" (default) or "lion" — the reference's --lion flag (lr/5,
+    # wd*5, training_util.py:45-51; dev notes: ~18k frames/s, lower VRAM)
+    optimizer: str = "adamw"
     save_step: int = 50
     finetune_weight: int = 20
     do_loss_sorting: bool = True
@@ -389,11 +392,11 @@ class XVAPitchTrainer:
         self.gam = max(1, int(math.ceil(cfg.target_bs / max(mean_bs, 1.0))))
         self.g_tx = make_gan_optimizer(
             cfg.gen_lr, gamma=cfg.lr_gamma, weight_decay=cfg.weight_decay,
-            grad_accum=self.gam,
+            grad_accum=self.gam, kind=cfg.optimizer,
         )
         self.d_tx = make_gan_optimizer(
             cfg.disc_lr, gamma=cfg.lr_gamma, weight_decay=cfg.weight_decay,
-            grad_accum=self.gam,
+            grad_accum=self.gam, kind=cfg.optimizer,
         )
         self._steps = {
             False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
