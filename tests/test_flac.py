@@ -1,0 +1,93 @@
+"""Native FLAC decoder (native/xva_host.cpp xva_decode_flac) round-trips
+streams produced by the pure-Python test encoder (tests/flac_encoder.py) —
+removing the ffmpeg gate on .flac input that the reference's bundled ffmpeg
+covered (reference python/audio_format/model.py:5-20)."""
+import os
+
+import numpy as np
+import pytest
+
+from flac_encoder import encode_flac
+from xva_trainer_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")
+
+
+def _pcm(n=9000, stereo=False, seed=0, bps=16):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 22050
+    y = 0.5 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(n)
+    x = np.clip(y * (2 ** (bps - 1) - 1), -(2 ** (bps - 1)),
+                2 ** (bps - 1) - 1).astype(np.int64)
+    if stereo:
+        x = np.stack([x, (x * 0.7).astype(np.int64)], axis=1)
+    return x
+
+
+def _roundtrip(tmp_path, pcm, name, **kw):
+    raw = encode_flac(pcm, **kw)
+    p = str(tmp_path / f"{name}.flac")
+    with open(p, "wb") as f:
+        f.write(raw)
+    got = native.decode_flac(p)
+    assert got is not None, "decoder rejected the stream"
+    return got
+
+
+def test_verbatim_mono(tmp_path):
+    pcm = _pcm()
+    y, sr = _roundtrip(tmp_path, pcm, "mono")
+    assert sr == 22050 and len(y) == len(pcm)
+    np.testing.assert_allclose(y, pcm / 32768.0, atol=1e-6)
+
+
+def test_constant_subframe(tmp_path):
+    pcm = np.full(5000, -1234, np.int64)
+    y, _ = _roundtrip(tmp_path, pcm, "const", subframe="constant")
+    np.testing.assert_allclose(y, -1234 / 32768.0, atol=1e-6)
+
+
+def test_fixed1_rice(tmp_path):
+    pcm = _pcm(n=8192)
+    y, _ = _roundtrip(tmp_path, pcm, "fixed", subframe="fixed1")
+    np.testing.assert_allclose(y, pcm / 32768.0, atol=1e-6)
+
+
+def test_stereo_independent_mixes_to_mono(tmp_path):
+    pcm = _pcm(stereo=True)
+    y, _ = _roundtrip(tmp_path, pcm, "st")
+    ref = pcm.mean(axis=1) / 32768.0
+    np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_stereo_mid_side(tmp_path):
+    pcm = _pcm(stereo=True, seed=3)
+    y, _ = _roundtrip(tmp_path, pcm, "ms", subframe="verbatim",
+                      stereo_mode="mid_side")
+    ref = pcm.mean(axis=1) / 32768.0
+    np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_odd_tail_block(tmp_path):
+    pcm = _pcm(n=4096 + 777)  # final short frame
+    y, _ = _roundtrip(tmp_path, pcm, "tail")
+    assert len(y) == len(pcm)
+
+
+def test_decode_any_flac(tmp_path):
+    from xva_trainer_tpu.tools.audio_tools import decode_any
+
+    pcm = _pcm(n=22050)
+    with open(tmp_path / "x.flac", "wb") as f:
+        f.write(encode_flac(pcm))
+    y, sr = decode_any(str(tmp_path / "x.flac"))
+    assert sr == 22050 and len(y) == 22050
+    np.testing.assert_allclose(y, pcm / 32768.0, atol=1e-6)
+
+
+def test_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.flac")
+    with open(p, "wb") as f:
+        f.write(b"fLaC" + os.urandom(64))
+    assert native.decode_flac(p) is None

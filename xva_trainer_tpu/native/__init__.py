@@ -54,6 +54,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
     lib.xva_decode_wav.restype = ctypes.c_int
+    lib.xva_decode_flac.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(c_float_p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.xva_decode_flac.restype = ctypes.c_int
     lib.xva_resample.argtypes = [
         c_float_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(c_float_p), ctypes.POINTER(ctypes.c_int),
@@ -90,6 +95,23 @@ def decode_wav(path: str) -> Optional[Tuple[np.ndarray, int]]:
     sr = ctypes.c_int()
     rc = lib.xva_decode_wav(path.encode(), ctypes.byref(buf),
                             ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        return None
+    y = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()
+    lib.xva_free(buf)
+    return y, sr.value
+
+
+def decode_flac(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Native FLAC → (mono float32, sr); None when unbuilt or undecodable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int()
+    sr = ctypes.c_int()
+    rc = lib.xva_decode_flac(path.encode(), ctypes.byref(buf),
+                             ctypes.byref(n), ctypes.byref(sr))
     if rc != 0:
         return None
     y = np.ctypeslib.as_array(buf, shape=(n.value,)).copy()

@@ -26,9 +26,19 @@ def _ffmpeg() -> Optional[str]:
 
 
 def decode_any(path: str, target_sr: int = TARGET_SR) -> Tuple[np.ndarray, int]:
-    """Decode wav natively; other containers via ffmpeg when available."""
+    """Decode wav/flac natively; other containers via ffmpeg when available."""
     if path.lower().endswith(".wav"):
         return load_wav(path, target_sr=target_sr)
+    if path.lower().endswith(".flac"):
+        from .. import native
+
+        d = native.decode_flac(path) if native.available() else None
+        if d is not None:
+            y, sr = d
+            if target_sr and sr != target_sr:
+                y, sr = resample(y, sr, target_sr), target_sr
+            return y, sr
+        # fall through to ffmpeg for exotic FLACs / unbuilt native lib
     ff = _ffmpeg()
     if not ff:
         raise RuntimeError(
