@@ -42,3 +42,32 @@ def test_resource_usage_endpoint():
         server.handle_http("/resourceUsage", {}))
     assert 0 <= out["cpu_percent"] <= 100
     assert out["ram"]["total_gb"] > 0
+
+
+def test_profile_endpoints(tmp_path):
+    """on-demand jax.profiler capture via /profileStart + /profileStop."""
+    import asyncio
+    import os
+
+    import jax.numpy as jnp
+
+    from xva_trainer_tpu.app.server import AppServer
+
+    async def run():
+        srv = AppServer(http_port=8097, ws_port=8098)
+        d = str(tmp_path / "traces")
+        r = await srv.handle_http("/profileStart", {"dir": d})
+        assert r["ok"], r
+        # double-start refused
+        r2 = await srv.handle_http("/profileStart", {"dir": d})
+        assert not r2["ok"]
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+        r3 = await srv.handle_http("/profileStop", {})
+        assert r3["ok"] and r3["dir"] == d
+        # stop without start refused
+        r4 = await srv.handle_http("/profileStop", {})
+        assert not r4["ok"]
+        found = [f for _, _, fs in os.walk(d) for f in fs]
+        assert found, "trace directory is empty"
+
+    asyncio.run(run())
