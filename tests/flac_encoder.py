@@ -145,11 +145,9 @@ def encode_flac(pcm: np.ndarray, sr: int = 22050, bps: int = 16,
         bw.bits(0, 1)
         _utf8_num(bw, fi)
         bw.bits(bs - 1, 16)
-        hdr = bw.bytes + bytes([bw.acc << (8 - bw.nbits)] if bw.nbits else b"")
         # crc8 covers the header bytes up to (not incl.) the crc byte; header
         # so far is bit-aligned: 14+1+1+4+4+4+3+1 = 32 bits + utf8 + 16 = whole bytes
         bw.bits(crc8(bytes(bw.bytes)), 8)
-        del hdr
         if stereo:
             if stereo_mode == "mid_side":
                 left, right = blk[:, 0], blk[:, 1]

@@ -91,3 +91,23 @@ def test_rejects_garbage(tmp_path):
     with open(p, "wb") as f:
         f.write(b"fLaC" + os.urandom(64))
     assert native.decode_flac(p) is None
+
+
+def test_corrupt_total_samples_no_abort(tmp_path):
+    """A corrupt 36-bit STREAMINFO total must return None (error code), not
+    throw bad_alloc across the extern-C boundary and abort the process."""
+    raw = bytearray(encode_flac(_pcm(n=4096)))
+    # STREAMINFO total-samples field: bytes 8+13..8+17 of the block body
+    # (block header at offset 4, body at 8; total is low nibble of body[13]
+    # plus body[14:18]) — set to 2^36-1
+    body = 8
+    raw[body + 13] |= 0x0F
+    raw[body + 14: body + 18] = b"\xFF\xFF\xFF\xFF"
+    p = str(tmp_path / "huge.flac")
+    with open(p, "wb") as f:
+        f.write(bytes(raw))
+    got = native.decode_flac(p)
+    # either decodes (clamped reserve) or cleanly returns None — both fine;
+    # the process surviving IS the assertion
+    if got is not None:
+        assert len(got[0]) == 4096

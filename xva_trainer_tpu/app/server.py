@@ -328,7 +328,6 @@ class AppServer:
         self.manager = ModelsManager(self.logger)
         self.training = TrainingSession(self)
         self.ready = True
-        self._profile_dir: Optional[str] = None  # /profileStart..Stop state
 
     # ---------------- websocket protocol ----------------
 
@@ -461,31 +460,14 @@ class AppServer:
             # on-demand jax.profiler trace capture (SURVEY §5.1): start
             # tracing whatever the trainer is currently executing; view in
             # TensorBoard's profile plugin / xprof
-            import jax
+            from ..train.profiler import trace_start
 
-            d = body.get("dir") or os.path.join(
-                os.getcwd(), "profile_traces")
-            if self._profile_dir is not None:
-                return {"ok": False, "error": "trace already running",
-                        "dir": self._profile_dir}
-            os.makedirs(d, exist_ok=True)
-            try:
-                jax.profiler.start_trace(d)
-            except Exception as e:  # backend not initialized yet, etc.
-                return {"ok": False, "error": str(e)}
-            self._profile_dir = d
-            return {"ok": True, "dir": d}
+            return trace_start(body.get("dir")
+                               or os.path.join(os.getcwd(), "profile_traces"))
         if path == "/profileStop":
-            import jax
+            from ..train.profiler import trace_stop
 
-            if self._profile_dir is None:
-                return {"ok": False, "error": "no trace running"}
-            try:
-                jax.profiler.stop_trace()
-            except Exception as e:
-                return {"ok": False, "error": str(e)}
-            d, self._profile_dir = self._profile_dir, None
-            return {"ok": True, "dir": d}
+            return trace_stop()
         if path == "/updateQueueItem":
             # per-queue-item training config edits (reference
             # javascript/train.js:711-747)

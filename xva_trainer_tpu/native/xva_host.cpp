@@ -503,8 +503,8 @@ static const int SAMPLE_RATES[16] = {0, 88200, 176400, 192000, 8000, 16000,
 
 }  // namespace flacdec
 
-int xva_decode_flac(const char* path, float** out, int* n_samples,
-                    int* sample_rate) {
+static int xva_decode_flac_impl(const char* path, float** out, int* n_samples,
+                                int* sample_rate) {
     using namespace flacdec;
     FILE* f = fopen(path, "rb");
     if (!f) return 1;
@@ -549,7 +549,11 @@ int xva_decode_flac(const char* path, float** out, int* n_samples,
         return 4;
 
     std::vector<float> mono;
-    if (total) mono.reserve((size_t)total);
+    // clamp the (untrusted, 36-bit) STREAMINFO total before reserving:
+    // a corrupt field must not request hundreds of GB. Bound by what the
+    // file could possibly hold (mono samples can't exceed total bits).
+    uint64_t cap = (uint64_t)fsize * 8ull;
+    if (total && total <= cap) mono.reserve((size_t)total);
     std::vector<std::vector<int64_t>> ch(channels);
     const double scale = 1.0 / (double)(1ll << (bps - 1));
 
@@ -624,6 +628,18 @@ int xva_decode_flac(const char* path, float** out, int* n_samples,
     *n_samples = (int)mono.size();
     *sample_rate = sr;
     return 0;
+}
+
+int xva_decode_flac(const char* path, float** out, int* n_samples,
+                    int* sample_rate) {
+    // exceptions (bad_alloc from corrupt sizes, etc.) must not cross the
+    // extern "C" boundary — they would std::terminate the whole Python
+    // process instead of letting the caller fall back to ffmpeg
+    try {
+        return xva_decode_flac_impl(path, out, n_samples, sample_rate);
+    } catch (...) {
+        return 8;
+    }
 }
 
 }  // extern "C"

@@ -78,6 +78,9 @@ def make_gan_optimizer(
 
     if kind == "lion":
         lr, weight_decay = lr / 5.0, weight_decay * 5.0
+    elif kind != "adamw":
+        raise ValueError(f"unknown optimizer kind {kind!r} "
+                         "(expected 'adamw' or 'lion')")
 
     def schedule(step):
         return lr * gamma ** (step // decay_every)

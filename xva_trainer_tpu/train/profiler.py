@@ -35,6 +35,47 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+# ---- stateful start/stop pair (the /profileStart + /profileStop server
+# endpoints, or any other async owner that can't hold a context manager) ----
+_active_trace_dir: Optional[str] = None
+
+
+def trace_start(log_dir: str) -> Dict:
+    """Begin a jax.profiler trace; {'ok': bool, 'dir'/'error': ...}."""
+    global _active_trace_dir
+    import os
+
+    import jax
+
+    if _active_trace_dir is not None:
+        return {"ok": False, "error": "trace already running",
+                "dir": _active_trace_dir}
+    os.makedirs(log_dir, exist_ok=True)
+    try:
+        jax.profiler.start_trace(log_dir)
+    except Exception as e:  # backend not initialized yet, etc.
+        return {"ok": False, "error": str(e)}
+    _active_trace_dir = log_dir
+    return {"ok": True, "dir": log_dir}
+
+
+def trace_stop() -> Dict:
+    """End the active trace. The active-dir marker clears even when
+    stop_trace raises — the trace is dead either way, and a sticky marker
+    would wedge profiling until process restart."""
+    global _active_trace_dir
+    import jax
+
+    if _active_trace_dir is None:
+        return {"ok": False, "error": "no trace running"}
+    d, _active_trace_dir = _active_trace_dir, None
+    try:
+        jax.profiler.stop_trace()
+    except Exception as e:
+        return {"ok": False, "error": str(e), "dir": d}
+    return {"ok": True, "dir": d}
+
+
 class StepTimer:
     def __init__(self):
         self.records: List[Dict] = []
