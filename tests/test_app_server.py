@@ -158,3 +158,37 @@ def test_save_recording(tmp_path):
     assert sr2 == 22050
     meta = (tmp_path / "metadata.csv").read_text()
     assert "take1.wav|a recorded line" in meta
+
+
+def test_delete_record(tmp_path):
+    """/deleteRecord removes the metadata line; the wav stays (reference
+    explorer line delete, javascript/script.js:531-545)."""
+    import asyncio
+
+    import numpy as np
+
+    from xva_trainer_tpu.app.server import AppServer
+    from xva_trainer_tpu.data.audio_io import save_wav
+
+    ds = tmp_path / "ds"
+    (ds / "wavs").mkdir(parents=True)
+    for n in ("a", "b"):
+        save_wav(str(ds / "wavs" / f"{n}.wav"),
+                 np.zeros(2205, np.float32))
+    (ds / "metadata.csv").write_text("a.wav|alpha\nb.wav|beta")
+
+    async def run():
+        srv = AppServer(http_port=8099, ws_port=8100)
+        r = await srv.handle_http("/deleteRecord",
+                                  {"path": str(ds), "name": "a.wav"})
+        assert r["ok"]
+        assert (ds / "metadata.csv").read_text() == "b.wav|beta"
+        assert (ds / "wavs" / "a.wav").exists()  # wav untouched
+        info = srv._dataset_info(str(ds))
+        assert [i["name"] for i in info["items"]] == ["b.wav"]
+        assert "a.wav" in info.get("untranscribed", [])
+        r2 = await srv.handle_http("/deleteRecord",
+                                   {"path": str(ds), "name": "a.wav"})
+        assert not r2["ok"]  # already gone
+
+    asyncio.run(run())

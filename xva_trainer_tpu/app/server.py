@@ -426,6 +426,8 @@ class AppServer:
         if path == "/updateTranscript":
             return self._update_transcript(body["path"], body["name"],
                                            body["text"])
+        if path == "/deleteRecord":
+            return self._delete_record(body["path"], body["name"])
         if path == "/graphs":
             p = os.path.join(body["dir"], "graphs.json")
             if os.path.exists(p):
@@ -592,6 +594,29 @@ class AppServer:
         with open(meta, "w", encoding="utf8") as f:
             f.write("\n".join(rows))
         return {"ok": True}
+
+    def _delete_record(self, dataset_path: str, name: str) -> Dict:
+        """Remove a record's metadata line (reference explorer line delete,
+        javascript/script.js:531-545 — the wav stays on disk and shows under
+        'untranscribed')."""
+        meta = os.path.join(dataset_path, "metadata.csv")
+        if not os.path.exists(meta):
+            return {"ok": False, "error": "no metadata.csv"}
+        stem = os.path.splitext(os.path.basename(name))[0]
+        rows, removed = [], False
+        with open(meta, encoding="utf8") as f:
+            for line in f.read().split("\n"):
+                if not line.strip():
+                    continue
+                k = line.split("|")[0]
+                if k == name or os.path.splitext(k)[0] == stem:
+                    removed = True
+                    continue
+                rows.append(line)
+        if removed:
+            with open(meta, "w", encoding="utf8") as f:
+                f.write("\n".join(rows))
+        return {"ok": removed}
 
     async def _export_wav(self, body: Dict) -> Dict:
         """Preview synthesis + loudness normalization round trip
