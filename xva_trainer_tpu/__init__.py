@@ -19,4 +19,4 @@ trainer for xVASynth voices. This package re-designs its compute core for TPU:
                  protocol (``{model, task, data}`` / ``task_info`` events).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
