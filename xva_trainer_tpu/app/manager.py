@@ -9,7 +9,7 @@ loop and guarded by a lock."""
 from __future__ import annotations
 
 import asyncio
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from ..tools import TOOL_REGISTRY
 

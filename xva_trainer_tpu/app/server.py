@@ -21,7 +21,7 @@ import logging
 import os
 import traceback
 from logging.handlers import RotatingFileHandler
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 
 def _ui_html(ws_port: int = 8001) -> str:

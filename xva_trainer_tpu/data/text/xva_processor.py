@@ -15,7 +15,6 @@ with on-disk caches, emitting tokens from the 524-symbol xVAARPAbet inventory
 """
 from __future__ import annotations
 
-import json
 import os
 import re
 from typing import Callable, Dict, List, Optional

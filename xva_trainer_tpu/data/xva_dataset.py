@@ -15,8 +15,6 @@ Reference behavior:
 """
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
 import random
 from typing import Callable, Dict, List, Optional, Sequence

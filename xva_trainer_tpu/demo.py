@@ -63,7 +63,6 @@ def main(argv=None):
     ds = build_synthetic_dataset(out)
     print(f"[demo] dataset: {ds}")
 
-    from .data.dataset import Bucket
     from .models.fastpitch import FastPitchConfig
     from .models.hifigan import HifiganConfig
     from .train.pipeline import PipelineConfig, V2InferenceModel, train_v2_pipeline

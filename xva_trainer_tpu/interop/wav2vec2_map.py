@@ -4,11 +4,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
-from .mapping import Rule, apply_import, _norm_except
+from .mapping import Rule, apply_import
 from .torch_io import load_torch_pt
 
 

@@ -11,7 +11,6 @@ data rather than depending on an unshippable third-party blob.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ energy 0.1; KL start epoch 0, warmup 100 epochs, weight 1.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import optax
 

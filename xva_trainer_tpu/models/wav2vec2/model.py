@@ -10,7 +10,7 @@ HF checkpoints via interop.wav2vec2_map.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -12,8 +12,7 @@ interop.whisper_map (OpenAI .pt or HuggingFace naming).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

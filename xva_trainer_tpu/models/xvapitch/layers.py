@@ -14,7 +14,6 @@ All tensors are channels-last (B, T, C); convs lower to MXU matmuls.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ VitsDiscriminatorLoss (:323-351): LSGAN.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

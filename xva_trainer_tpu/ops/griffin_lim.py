@@ -7,7 +7,6 @@ predicted mels (output_samples, xva_train.py:1323-1365) without a vocoder.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ Grid: one program per 128-frame block; batch via leading grid dimension.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

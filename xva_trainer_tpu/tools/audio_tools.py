@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..data.audio_io import load_wav, resample, save_wav, trim_silence_db
-from ..ops.loudness import integrated_loudness, normalize_ebu_r128
+from ..ops.loudness import normalize_ebu_r128
 from .base import BaseTool
 
 TARGET_SR = 22050

@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..data.audio_io import load_wav, resample, save_wav
-from .audio_tools import decode_any, list_audio_files, format_srt
+from ..data.audio_io import resample, save_wav
+from .audio_tools import decode_any, list_audio_files
 from .base import BaseTool
 
 

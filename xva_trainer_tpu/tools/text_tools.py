@@ -4,7 +4,7 @@ audio_source_separation}/model.py)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
