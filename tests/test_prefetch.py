@@ -45,6 +45,27 @@ def test_packed_cache_matches_npz(tmp_path):
     assert not d["mel"].flags.writeable
 
 
+def test_load_item_prefers_fresher_npz(tmp_path):
+    """A per-item npz rewritten after pack() must win over the stale
+    packed entry (targeted re-extraction without a repack)."""
+    ds = _make_dataset(tmp_path, n=3)
+    cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)
+    cache.build()
+    it = cache.items[0]
+    p = os.path.join(cache.cache_dir, it.item_id + ".npz")
+    with np.load(p) as z:
+        d = {k: z[k] for k in z.files}
+    d["pitch"] = d["pitch"] + 123.0
+    time.sleep(0.05)  # ensure the npz mtime exceeds the pack stamp
+    np.savez(p, **d)
+    got = cache.load_item(it)
+    np.testing.assert_array_equal(got["pitch"], d["pitch"])
+    cache.pack()  # repacking reconciles; the pack wins again
+    got2 = cache.load_item(it)
+    np.testing.assert_array_equal(got2["pitch"], d["pitch"])
+    assert not got2["pitch"].flags.writeable  # served from the mmap again
+
+
 def test_pack_is_incremental(tmp_path):
     ds = _make_dataset(tmp_path, n=3)
     cache = FeatureCache(ds, TextProcessor().encode, use_pallas=False)

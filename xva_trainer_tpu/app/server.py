@@ -791,13 +791,20 @@ class AppServer:
                     q = parse_qs(urlparse(self.path).query)
                     ds = (q.get("path") or [""])[0]
                     name = os.path.basename((q.get("name") or [""])[0])
+                    # only serve from real dataset dirs: the caller-supplied
+                    # root must contain metadata.csv (every xva dataset does)
+                    is_dataset = os.path.isfile(os.path.join(ds, "metadata.csv"))
+                    ctypes_map = {".wav": "audio/wav", ".flac": "audio/flac",
+                                  ".ogg": "audio/ogg", ".mp3": "audio/mpeg"}
+                    ctype = ctypes_map.get(
+                        os.path.splitext(name)[1].lower(), "application/octet-stream")
                     for sub in ("wavs", "wavs_postprocessed"):
                         p = os.path.join(ds, sub, name)
-                        if name and os.path.isfile(p):
+                        if name and is_dataset and os.path.isfile(p):
                             with open(p, "rb") as f:
                                 raw = f.read()
                             self.send_response(200)
-                            self.send_header("Content-Type", "audio/wav")
+                            self.send_header("Content-Type", ctype)
                             self.send_header("Content-Length", str(len(raw)))
                             self.end_headers()
                             self.wfile.write(raw)

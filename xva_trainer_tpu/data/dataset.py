@@ -325,9 +325,17 @@ class FeatureCache:
         self._packed = PackedReader(self.cache_dir)
 
     def load_item(self, item: Utterance) -> Optional[Dict[str, np.ndarray]]:
-        if self._packed and item.item_id in self._packed:
-            return self._packed.load(item.item_id)
         p = self._cache_path(item)
+        if self._packed and item.item_id in self._packed:
+            # Freshness guard: a per-item npz rewritten after the pack was
+            # built (targeted re-extraction, transcript re-tokenization)
+            # must win over the stale packed entry.
+            try:
+                npz_newer = (os.path.getmtime(p) > self._packed.pack_mtime)
+            except OSError:
+                npz_newer = False
+            if not npz_newer:
+                return self._packed.load(item.item_id)
         if not os.path.exists(p):
             return None
         with np.load(p) as z:

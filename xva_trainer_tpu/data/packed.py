@@ -100,9 +100,11 @@ class PackedReader:
         bin_path = os.path.join(cache_dir, PACK_BIN)
         self.index: Dict[str, Dict] = {}
         self._buf = None
+        self.pack_mtime: float = 0.0
         if not (os.path.exists(idx_path) and os.path.exists(bin_path)):
             return
         try:
+            self.pack_mtime = os.path.getmtime(idx_path)
             with open(idx_path) as fh:
                 meta = json.load(fh)
             buf = np.memmap(bin_path, dtype=np.uint8, mode="r")

@@ -620,6 +620,11 @@ static int xva_decode_flac_impl(const char* path, float** out, int* n_samples,
         pos += br.pos_byte + (br.pos_bit ? 1 : 0);
     }
     if (mono.empty()) return 6;
+    // A failed mid-file frame-sync exits the loop silently; when STREAMINFO
+    // declares the stream length, a shortfall means corruption — report it
+    // so the caller engages its ffmpeg fallback instead of consuming a
+    // truncated decode.
+    if (total && mono.size() < total) return 6;
     if (total && mono.size() > total) mono.resize((size_t)total);
     float* res = (float*)malloc(sizeof(float) * mono.size());
     if (!res) return 7;

@@ -16,10 +16,12 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from typing import Dict, Optional
 
 _last_cpu: Optional[tuple] = None
+_cpu_lock = threading.Lock()
 
 
 def _read_proc_stat() -> Optional[tuple]:
@@ -40,12 +42,12 @@ def cpu_percent() -> float:
     now = _read_proc_stat()
     if now is None:
         return 0.0
-    if _last_cpu is None:
-        _last_cpu = now
+    with _cpu_lock:
+        prev, _last_cpu = _last_cpu, now
+    if prev is None:
         return 0.0
-    didle = now[0] - _last_cpu[0]
-    dtotal = now[1] - _last_cpu[1]
-    _last_cpu = now
+    didle = now[0] - prev[0]
+    dtotal = now[1] - prev[1]
     if dtotal <= 0:
         return 0.0
     return max(0.0, min(100.0, 100.0 * (1.0 - didle / dtotal)))
