@@ -214,10 +214,16 @@ def main():
     report["min_schedule_v5e8_s"] = round(total8(min_epochs), 1)
     report["typical_schedule_v5e8_s"] = round(total8(typical), 1)
     report["northstar_target_s"] = 3600
+    # The target verdict is only meaningful for the real benchmark: full-size
+    # models, the full 2h dataset, and an accelerator backend. A tiny/CPU/
+    # short-dataset smoke writes null — it validates the script, not the
+    # north star (VERDICT r2 weak #2).
+    full_run = (not args.tiny and args.clips >= 1200
+                and report_platform != "cpu")
     report["meets_target_1chip_typical"] = (
-        report["typical_schedule_wall_s"] < 3600)
+        report["typical_schedule_wall_s"] < 3600) if full_run else None
     report["meets_target_v5e8_typical"] = (
-        report["typical_schedule_v5e8_s"] < 3600)
+        report["typical_schedule_v5e8_s"] < 3600) if full_run else None
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "northstar.json"), "w") as f:
