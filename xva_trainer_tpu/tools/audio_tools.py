@@ -39,6 +39,33 @@ def decode_any(path: str, target_sr: int = TARGET_SR) -> Tuple[np.ndarray, int]:
                 y, sr = resample(y, sr, target_sr), target_sr
             return y, sr
         # fall through to ffmpeg for exotic FLACs / unbuilt native lib
+    if path.lower().endswith((".ogg", ".oga")):
+        from ..native.vorbis import decode_ogg
+
+        d = decode_ogg(path)
+        if d is not None:
+            y, sr = d
+            if target_sr and sr != target_sr:
+                y, sr = resample(y, sr, target_sr), target_sr
+            return y, sr
+        # no system libvorbis → ffmpeg fallback below
+    if path.lower().endswith(".wem"):
+        d = decode_wem_pcm(path)
+        if d is None:
+            from ..native.vorbis import decode_ogg as _dec
+            from .wwise_vorbis import wem_to_ogg
+
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".ogg") as tf:
+                tf.write(wem_to_ogg(path))
+                tf.flush()
+                d = _dec(tf.name)
+        if d is not None:
+            y, sr = d
+            if target_sr and sr != target_sr:
+                y, sr = resample(y, sr, target_sr), target_sr
+            return y, sr
     ff = _ffmpeg()
     if not ff:
         raise RuntimeError(
@@ -412,52 +439,57 @@ def decode_wem_pcm(path: str):
 
 
 class Wem2OggTool(BaseTool):
-    """'wem2ogg': Wwise .wem audio extraction (reference ships ww2ogg.exe +
-    codebooks — python/wem2ogg/model.py:36-64). Native path: PCM/float .wem
-    decode straight to .wav (no binary needed — the reference's next step is
-    the `formatting` tool, which takes wav). Vorbis-codec .wem fall back to a
-    ww2ogg or vgmstream-cli binary when one is on PATH."""
+    """'wem2ogg': Wwise .wem audio extraction (reference shells out to a
+    bundled ww2ogg.exe + codebooks — python/wem2ogg/model.py:36-64). Fully
+    native here: PCM/float .wem decode straight to .wav, and Vorbis-codec
+    .wem are rebuilt to .ogg by tools/wwise_vorbis.py (packet re-framing +
+    aoTuV codebook re-inflation, no external binary). Matching the
+    reference's output, Vorbis conversions are written as .ogg; pass
+    ``toWav: true`` to also decode them to .wav via the system libvorbis."""
 
     async def run(self, data: Dict, websocket=None):
-        ww2ogg = (shutil.which("ww2ogg") or data.get("ww2oggPath")
-                  or shutil.which("vgmstream-cli"))
+        from .wwise_vorbis import WemParseError, wem_to_ogg
+
         in_path = data.get("inPath") or data["inputDirectory"]
         out_dir = data.get("outputDirectory") or os.path.dirname(in_path)
+        to_wav = bool(data.get("toWav"))
+        codebooks = data.get("codebooksPath")  # custom game library override
         os.makedirs(out_dir, exist_ok=True)
         files = [f for f in list_audio_files(in_path) if f.endswith(".wem")] or [
             os.path.join(in_path, f)
             for f in os.listdir(in_path)
             if f.endswith(".wem")
         ]
-        needs_binary = []
+        failed = []
 
         def work(f):
             decoded = decode_wem_pcm(f)
             stem = os.path.basename(f)[:-4]
+            from ..data.audio_io import save_wav
+
             if decoded is not None:
                 y, sr = decoded
-                from ..data.audio_io import save_wav
-
                 save_wav(os.path.join(out_dir, stem + ".wav"), y, sr)
                 return
-            if ww2ogg:
-                if "vgmstream" in os.path.basename(ww2ogg):
-                    subprocess.run(
-                        [ww2ogg, "-o", os.path.join(out_dir, stem + ".wav"), f],
-                        check=True)
-                else:
-                    subprocess.run(
-                        [ww2ogg, f, "-o", os.path.join(out_dir, stem + ".ogg")],
-                        check=True)
+            try:
+                ogg = wem_to_ogg(f, codebook_path=codebooks)
+            except WemParseError as e:
+                failed.append(f"{os.path.basename(f)} ({e})")
                 return
-            # collect instead of raising: every PCM .wem still converts, and
-            # the user gets ONE error naming all files that need the binary
-            needs_binary.append(os.path.basename(f))
+            ogg_path = os.path.join(out_dir, stem + ".ogg")
+            with open(ogg_path, "wb") as fh:
+                fh.write(ogg)
+            if to_wav:
+                from ..native.vorbis import decode_ogg
+
+                out = decode_ogg(ogg_path)
+                if out is not None:
+                    save_wav(os.path.join(out_dir, stem + ".wav"), *out)
 
         await self.run_items(files, work, websocket, out_dir)
-        if needs_binary:
+        if failed:
+            # every convertible file is already written; report the rest once
             raise RuntimeError(
-                f"{len(needs_binary)} Vorbis-codec .wem need ww2ogg or "
-                f"vgmstream-cli on PATH (PCM .wem decode natively): "
-                + ", ".join(sorted(needs_binary)[:20]))
+                f"{len(failed)} .wem could not be converted: "
+                + ", ".join(sorted(failed)[:20]))
         await self.done(websocket)

@@ -37,7 +37,15 @@ TOOL_SETTINGS_SCHEMA: Dict[str, Dict] = {
              "label": "Output labels for Audacity", "default": False},
         ],
     },
-    "wem2ogg": {"fields": []},
+    "wem2ogg": {
+        "fields": [
+            {"key": "toWav", "type": "bool",
+             "label": "Also decode Vorbis .wem to .wav", "default": False},
+            {"key": "codebooksPath", "type": "str",
+             "label": "Custom packed-codebooks file (blank = bundled aoTuV)",
+             "default": ""},
+        ]
+    },
     "cluster_speakers": {
         "fields": [
             {"key": "do_search_reordering", "type": "bool",
