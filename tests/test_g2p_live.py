@@ -17,26 +17,30 @@ from xva_trainer_tpu.data.text.preprocessing import (
     XvaTextPreprocessor,
 )
 
-# one fixed IPA answer per espeak voice our fake binary "knows"
+# One fixed answer per espeak voice our fake binary "knows". The raw strings
+# mirror REAL espeak-ng 1.50 `--ipa=3` output shape: a leading space on each
+# line, U+0361 combining ties inside affricates, and `_` phoneme separators.
 FAKE_IPA = {
-    "de": "z_ˈiː_b_ə",
-    "fr-fr": "b_ɔ̃_ʒ_ˈu_ʁ",
-    "ru": "p_ɾ_ʲɪ_v_ˈetː",
-    "en-us": "h_ə_l_ˈoʊ",
+    "de": " z_ˈiː_b_ə",
+    "fr-fr": " b_ɔ̃_ʒ_ˈu_ʁ",
+    "ru": " p_ɾ_ʲɪ_v_ˈetː",
+    "en-us": " h_ə_l_ˈoʊ",
+    "en": " t͡ʃ_ˈɜː_t͡ʃ",  # "church": affricates carry combining ties
 }
 
 
 @pytest.fixture
 def fake_espeak(tmp_path, monkeypatch):
     """A stand-in espeak-ng binary: answers -q --ipa=3 -v <voice> <word>
-    with canned IPA (underscore-separated, like the real --ipa=3), exercising
-    the real subprocess plumbing."""
+    with canned IPA in the real output shape (leading space, ties, trailing
+    newline), exercising the real subprocess plumbing."""
     lines = ["#!/bin/sh", 'voice=""',
              'while [ $# -gt 1 ]; do case "$1" in -v) voice="$2"; shift 2;;'
              ' *) shift;; esac; done']
     for voice, ipa in FAKE_IPA.items():
         lines.append(f'[ "$voice" = "{voice}" ] && echo "{ipa}" && exit 0')
-    lines.append('echo "x_ə"')
+    lines.append('[ "$voice" = "xx" ] && exit 1  # unknown voice: rc != 0')
+    lines.append('echo " x_ə"')
     p = tmp_path / "espeak-ng"
     p.write_text("\n".join(lines) + "\n")
     p.chmod(p.stat().st_mode | stat.S_IEXEC)
@@ -71,7 +75,8 @@ def test_live_g2p_three_languages_append_cache(tmp_path, fake_espeak):
         ids, cleaned = tp.text_to_sequence(word)
         assert ids, f"{lang}:{word} produced no symbols"
         # in-memory cache got the IPA (pipes collapsed to spaces)
-        assert tp.g2p_cache[word] == FAKE_IPA[ESPEAK_VOICES[lang]].replace("_", " ")
+        assert tp.g2p_cache[word] == (
+            FAKE_IPA[ESPEAK_VOICES[lang]].strip().replace("_", " "))
         # and it was appended to the reference-format word|ipa cache file
         cache_file = os.path.join(base, "g2p_cache", LANGS[lang]["cache"])
         text = open(cache_file, encoding="utf8").read()
@@ -98,3 +103,42 @@ def test_epitran_codes_cover_epitran_cache_langs():
     for lang in ("am", "ha", "mn", "th", "yo"):
         assert lang in EPITRAN_CODES
         assert lang not in ESPEAK_VOICES
+
+
+def test_espeak_output_quirks_normalized(fake_espeak):
+    """Real-output hardening: affricate ties removed (the shipped IPA tables
+    store affricates plain), leading spaces stripped."""
+    ipa = espeak_word_to_ipa("church", "en", fake_espeak)
+    assert ipa == "tʃ|ˈɜː|tʃ"
+    assert "͡" not in ipa
+
+
+def test_espeak_failure_returns_empty(fake_espeak):
+    """rc != 0 (unknown voice) must return '' so the caller degrades to
+    cache+dict+rules instead of caching garbage."""
+    assert espeak_word_to_ipa("hello", "xx", fake_espeak) == ""
+
+
+def test_espeak_multiline_and_lang_switch(tmp_path, monkeypatch):
+    """Clause breaks produce multiple lines; voice switches inject (xx)
+    markers; ZWJ joiners appear in some builds — all normalized."""
+    p = tmp_path / "espeak-ng"
+    p.write_text('#!/bin/sh\nprintf " h_ə_l_ˈoʊ\\n (de)v_ɛ_l_t\\n"\n')
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    ipa = espeak_word_to_ipa("hello welt", "en-us", str(p))
+    assert ipa == "h|ə|l|ˈoʊ v|ɛ|l|t"
+
+
+@pytest.mark.skipif(find_espeak() is None or
+                    os.environ.get("XVA_ESPEAK_BIN"),
+                    reason="no real espeak-ng binary on PATH")
+def test_real_espeak_integration():
+    """Runs only where a REAL espeak-ng is installed: the full pipeline must
+    produce non-empty pipe-separated IPA with no raw separators/ties left."""
+    binary = find_espeak()
+    ipa = espeak_word_to_ipa("hello", "en-us", binary)
+    assert ipa and "|" in ipa
+    assert "_" not in ipa and "͡" not in ipa and "(" not in ipa
+    tp = XvaTextPreprocessor("en")
+    ids, _ = tp.text_to_sequence("hello")
+    assert ids

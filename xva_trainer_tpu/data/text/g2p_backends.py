@@ -64,13 +64,30 @@ def espeak_word_to_ipa(word: str, voice: str, binary: str,
                        timeout: float = 10.0) -> str:
     """One word → IPA via the espeak CLI (reference phonemize_espeak
     semantics: --ipa=3 '_' separators → '|', language-switch markers
-    stripped)."""
+    stripped).
+
+    Hardened against real espeak-ng output quirks (goldens in
+    tests/test_g2p_live.py mirror actual 1.50 output):
+
+    - each output line starts with a space and ends with a newline; clause
+      breaks produce multiple lines → lines are joined with a space;
+    - affricates carry U+0361 combining ties (``t͡ʃ``) and some builds join
+      with U+200D; the shipped IPA tables store affricates plain (``tʃ``),
+      so both joiners are removed;
+    - language-switch markers ``(en)`` appear when the voice switches;
+    - a failed run (unknown voice, rc != 0) or empty output returns "" so
+      the caller degrades to cache+dict+rules instead of caching garbage.
+    """
     out = subprocess.run(
         [binary, "-q", "--ipa=3", "-v", voice, word],
         capture_output=True, timeout=timeout, check=False,
     )
-    text = out.stdout.decode("utf8", errors="replace").strip()
+    if out.returncode != 0:
+        return ""
+    text = out.stdout.decode("utf8", errors="replace")
+    text = " ".join(ln.strip() for ln in text.splitlines() if ln.strip())
     text = _LANG_SWITCH.sub("", text)
+    text = text.replace("͡", "").replace("‍", "")
     return text.replace("_", "|").strip()
 
 

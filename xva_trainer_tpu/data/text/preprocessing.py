@@ -346,15 +346,20 @@ class XvaTextPreprocessor:
             cache = self.spec.get("cache")
             if cache:
                 self.load_g2p_cache(os.path.join(base_dir, "g2p_cache", cache))
-            if use_heteronyms and self.spec.get("heteronyms"):
-                for cand in (
-                    os.path.join(base_dir, "heteronyms.json"),
-                    "/root/reference/lib/_dev/h2p_parser/data/dict.json",
-                ):
-                    if os.path.exists(cand):
-                        with open(cand, encoding="utf8") as f:
-                            self.heteronyms = json.load(f)
-                        break
+        if use_heteronyms and self.spec.get("heteronyms"):
+            # user override in base_dir, else the shipped h2p dict
+            # (374 DEFAULT/VERB ARPAbet entries — parity data with the
+            # reference's lib/_dev/h2p_parser/data/dict.json)
+            shipped = os.path.normpath(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "..", "assets", "heteronyms.json"))
+            cands = ([os.path.join(base_dir, "heteronyms.json")]
+                     if base_dir else []) + [shipped]
+            for cand in cands:
+                if os.path.exists(cand):
+                    with open(cand, encoding="utf8") as f:
+                        self.heteronyms = json.load(f)
+                    break
 
     # ---------------- dictionaries ----------------
 
