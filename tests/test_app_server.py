@@ -192,3 +192,63 @@ def test_delete_record(tmp_path):
         assert not r2["ok"]  # already gone
 
     asyncio.run(run())
+
+
+def test_app_settings_persist_and_restart(tmp_path, monkeypatch):
+    """Settings survive a server restart via app_settings.json (reference
+    settingsMenu.js:201-249 persisted userSettings)."""
+    monkeypatch.chdir(tmp_path)
+    server = AppServer()
+    out = run(server.handle_http("/appSettings", {}))
+    assert out["settings"]["theme"] == "dark"  # defaults
+    out = run(server.handle_http("/appSettings", {"set": {
+        "theme": "light", "datasets_path": "/data/voices",
+        "http_port": 9102, "unknown_key": "ignored"}}))
+    assert out["settings"]["theme"] == "light"
+    assert "unknown_key" not in out["settings"]
+    # a NEW server instance (restart) reads them back from disk
+    server2 = AppServer()
+    out2 = run(server2.handle_http("/appSettings", {}))
+    assert out2["settings"]["theme"] == "light"
+    assert out2["settings"]["datasets_path"] == "/data/voices"
+    assert out2["settings"]["http_port"] == 9102
+
+
+def test_server_log_endpoint(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import logging
+    from logging.handlers import RotatingFileHandler
+
+    lg = logging.getLogger("t-srvlog")
+    lg.setLevel(logging.INFO)
+    h = RotatingFileHandler(str(tmp_path / "server.log"), maxBytes=1 << 20)
+    lg.addHandler(h)
+    lg.propagate = False
+    server = AppServer(logger=lg)
+    lg.info("hello from the app logger")
+    out = run(server.handle_http("/serverLog", {"tail": 10}))
+    assert any("hello from the app logger" in ln for ln in out["lines"])
+
+
+def test_queue_reorder_and_duplicate(tmp_path, monkeypatch):
+    """Queue reorder/duplicate (reference javascript/train.js:258-368)."""
+    monkeypatch.chdir(tmp_path)
+    server = AppServer()
+    server.training.queue = [
+        {"dataset_path": "/a"}, {"dataset_path": "/b"}, {"dataset_path": "/c"},
+    ]
+    out = run(server.handle_http("/updateQueueItem", {"index": 2, "move": 0}))
+    assert out["ok"]
+    assert [q["dataset_path"] for q in server.training.queue] == ["/c", "/a", "/b"]
+    out = run(server.handle_http("/updateQueueItem", {"index": 1,
+                                                      "duplicate": True}))
+    assert out["ok"]
+    assert [q["dataset_path"] for q in server.training.queue] == [
+        "/c", "/a", "/a", "/b"]
+    # duplicates are independent copies
+    server.training.queue[2]["batch_size"] = 4
+    assert "batch_size" not in server.training.queue[1]
+    # order persisted to disk
+    with open("training_queue.json") as f:
+        saved = json.load(f)
+    assert [q["dataset_path"] for q in saved["queue"]] == ["/c", "/a", "/a", "/b"]

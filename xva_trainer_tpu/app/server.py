@@ -35,6 +35,21 @@ def _ui_html(ws_port: int = 8001) -> str:
                                 f"const wsPort = {int(ws_port)};")
 
 
+def load_app_settings() -> Dict:
+    """Merge persisted app settings over the defaults (unknown keys dropped,
+    so a stale file can't inject settings a newer server doesn't know)."""
+    out = dict(APP_SETTINGS_DEFAULTS)
+    p = os.path.join(os.getcwd(), APP_SETTINGS_FILE)
+    try:
+        with open(p) as f:
+            saved = json.load(f)
+        out.update({k: v for k, v in saved.items()
+                    if k in APP_SETTINGS_DEFAULTS})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    return out
+
+
 def make_logger(path: str = "server.log") -> logging.Logger:
     """Rotating file logger, 2MB × 5 (reference server.py:68-97)."""
     logger = logging.getLogger("xva_trainer_tpu")
@@ -317,6 +332,21 @@ class TrainingSession:
         self.paused = False
 
 
+# App-level settings (reference javascript/settingsMenu.js:201-249: ports,
+# device, default paths, theme). Server-persisted so they survive restarts
+# and apply to headless runs too.
+APP_SETTINGS_DEFAULTS = {
+    "http_port": 8002,
+    "ws_port": 8001,
+    "device": "tpu",
+    "datasets_path": "",
+    "output_path": "",
+    "theme": "dark",
+    "prompt_before_delete": True,
+}
+APP_SETTINGS_FILE = "app_settings.json"
+
+
 class AppServer:
     def __init__(self, http_port: int = 8002, ws_port: int = 8001,
                  logger: Optional[logging.Logger] = None):
@@ -327,7 +357,12 @@ class AppServer:
         self.logger = logger or make_logger()
         self.manager = ModelsManager(self.logger)
         self.training = TrainingSession(self)
+        self.app_settings = load_app_settings()
         self.ready = True
+
+    def save_app_settings(self) -> None:
+        with open(os.path.join(os.getcwd(), APP_SETTINGS_FILE), "w") as f:
+            json.dump(self.app_settings, f, indent=2)
 
     # ---------------- websocket protocol ----------------
 
@@ -471,22 +506,58 @@ class AppServer:
 
             return trace_stop()
         if path == "/updateQueueItem":
-            # per-queue-item training config edits (reference
-            # javascript/train.js:711-747)
+            # per-queue-item training config edits + reorder/duplicate
+            # (reference javascript/train.js:258-368,711-747)
             i = int(body["index"])
-            if 0 <= i < len(self.training.queue):
+            q = self.training.queue
+            if 0 <= i < len(q):
+                started = self.training.running() and i <= self.training.queue_index
                 if body.get("remove"):
-                    if i > self.training.queue_index or not self.training.running():
-                        self.training.queue.pop(i)
-                        if i < self.training.queue_index:
-                            self.training.queue_index -= 1
-                    else:
+                    if started:
                         return {"ok": False, "error": "item already started"}
+                    q.pop(i)
+                    if i < self.training.queue_index:
+                        self.training.queue_index -= 1
+                elif body.get("duplicate"):
+                    q.insert(i + 1, dict(q[i]))
+                    if i + 1 <= self.training.queue_index:
+                        self.training.queue_index += 1
+                elif "move" in body:
+                    j = max(0, min(len(q) - 1, int(body["move"])))
+                    floor = (self.training.queue_index + 1
+                             if self.training.running() else 0)
+                    if started or j < floor:
+                        return {"ok": False,
+                                "error": "cannot move started items"}
+                    q.insert(j, q.pop(i))
                 elif isinstance(body.get("config"), dict):
-                    self.training.queue[i].update(body["config"])
+                    q[i].update(body["config"])
                 self.training.save_queue()
-                return {"ok": True, "queue": self.training.queue}
+                return {"ok": True, "queue": q}
             return {"ok": False, "error": "bad index"}
+        if path == "/appSettings":
+            # server-persisted app settings (reference settingsMenu.js:201-249)
+            if isinstance(body.get("set"), dict):
+                known = {k: v for k, v in body["set"].items()
+                         if k in APP_SETTINGS_DEFAULTS}
+                device_changed = ("device" in known and
+                                  known["device"] != self.app_settings["device"])
+                self.app_settings.update(known)
+                self.save_app_settings()
+                if device_changed:
+                    # only on an actual change: set_device can initialize the
+                    # accelerator backend (slow / blocking on a dead tunnel)
+                    self.manager.set_device(known["device"])
+            return {"settings": self.app_settings}
+        if path == "/serverLog":
+            # app-logger panel (reference javascript/appLogger.js)
+            tail = int(body.get("tail", 80))
+            for h in self.logger.handlers:
+                base = getattr(h, "baseFilename", None)
+                if base and os.path.exists(base):
+                    with open(base, encoding="utf8", errors="replace") as f:
+                        return {"lines": f.read().split("\n")[-tail:]}
+            return {"lines": []}
         return {"error": f"unknown path {path}"}
 
     def _dataset_info(self, dataset_path: str) -> Dict:
@@ -865,9 +936,13 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--http-port", type=int, default=8002)
-    ap.add_argument("--ws-port", type=int, default=8001)
+    ap.add_argument("--http-port", type=int, default=0)
+    ap.add_argument("--ws-port", type=int, default=0)
     args = ap.parse_args()
+    # precedence: CLI flags > ports.txt > persisted app settings > defaults
+    saved = load_app_settings()
+    args.http_port = args.http_port or saved["http_port"]
+    args.ws_port = args.ws_port or saved["ws_port"]
     # ports.txt override (reference server.py:126-129)
     if os.path.exists("ports.txt"):
         with open("ports.txt") as f:
