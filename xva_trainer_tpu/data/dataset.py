@@ -204,19 +204,14 @@ class FeatureCache:
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         if batched is None:
             batched = os.environ.get("XVA_BATCHED_BUILD", "1") != "0"
-        # one spectrogram variant per cache (see sticky_mel_variant): the
-        # batched path is FFT-only, so a pallas-pinned cache stays serial.
-        # An unmarked cache that already has entries predates the marker —
-        # pin it to what the serial build used on this host.
-        has_existing = any(f.endswith(".npz") for f in os.listdir(self.cache_dir))
-        serial_variant = "pallas" if self.use_pallas else "fft"
+        # one spectrogram variant per cache (see sticky_mel_variant). The
+        # batched featurizer now runs the fused Pallas kernel too (per-item
+        # host reflect pad + center=None → frame-identical to the serial
+        # center=True kernel), so fresh TPU caches default to pallas AND
+        # build batched; pallas-pinned legacy caches extend batched as well.
         variant = sticky_mel_variant(
-            self.cache_dir,
-            serial_variant if (has_existing or not batched) else "fft")
-        if variant == "pallas":
-            batched = False
-        else:
-            self.use_pallas = False
+            self.cache_dir, "pallas" if self.use_pallas else "fft")
+        self.use_pallas = variant == "pallas"
         done = 0
 
         def decode(item):
@@ -249,7 +244,8 @@ class FeatureCache:
                         good = [(it, y) for it, y in zip(chunk_items, decoded)
                                 if y is not None and y is not False]
                         feats = featurize_batch([y for _, y in good],
-                                                self.mel_cfg)
+                                                self.mel_cfg,
+                                                use_pallas=self.use_pallas)
                         for (item, y), f in zip(good, feats):
                             atomic_savez(
                                 self._cache_path(item),

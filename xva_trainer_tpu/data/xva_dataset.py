@@ -116,16 +116,11 @@ class XvaFeatureCache:
         todo = [it for it in self.items if not os.path.exists(self._cache_path(it))]
         if batched is None:
             batched = os.environ.get("XVA_BATCHED_BUILD", "1") != "0"
-        # one spectrogram variant per cache (dataset.sticky_mel_variant)
-        has_existing = any(f.endswith(".npz") for f in os.listdir(self.cache_dir))
-        serial_variant = "pallas" if self.use_pallas else "fft"
+        # one spectrogram variant per cache (dataset.sticky_mel_variant);
+        # the batched featurizer runs the Pallas kernel for pallas caches
         variant = sticky_mel_variant(
-            self.cache_dir,
-            serial_variant if (has_existing or not batched) else "fft")
-        if variant == "pallas":
-            batched = False
-        else:
-            self.use_pallas = False
+            self.cache_dir, "pallas" if self.use_pallas else "fft")
+        self.use_pallas = variant == "pallas"
         if batched and todo:
             # thread-pool decode + one device dispatch per length bucket
             # (mel/linear + YIN f0 + energy in a single jit — ops/features.py)
@@ -150,7 +145,8 @@ class XvaFeatureCache:
                         good = [(it, y) for it, y in zip(chunk_items, decoded)
                                 if y is not None and y is not False]
                         feats = featurize_batch(
-                            [y for _, y in good], self.mel_cfg, mode="linear")
+                            [y for _, y in good], self.mel_cfg, mode="linear",
+                            use_pallas=self.use_pallas)
                         for (item, y), f in zip(good, feats):
                             pitch = np.where(
                                 f["pitch"] > 0,

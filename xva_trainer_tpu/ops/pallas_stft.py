@@ -174,13 +174,20 @@ def _mel_pallas_1d(
 ):
     n_fft, hop = cfg.n_fft, cfg.hop_length
     q_count = n_fft // hop
-    pad = n_fft // 2 if center else (n_fft - hop) // 2
+    # center=None: the caller already padded the signal (batched cache
+    # builds reflect-pad each item with ITS OWN samples on the host before
+    # packing the bucket buffer — ops/features.py); frame 0 starts at y[0].
+    if center is None:
+        pad = 0
+    else:
+        pad = n_fft // 2 if center else (n_fft - hop) // 2
 
     nf_pad = _round_up(max(num_frames, 1), BLOCK)
     rows_needed = nf_pad + q_count - 1
     total = rows_needed * hop
 
-    y = jnp.pad(y, (pad, pad), mode="reflect")
+    if pad:
+        y = jnp.pad(y, (pad, pad), mode="reflect")
     y = jnp.pad(y, (0, max(0, total - y.shape[0])))[:total]
     y2 = y.reshape(rows_needed, hop)
     y2 = jnp.pad(y2, ((0, q_count), (0, 0)))
@@ -272,7 +279,7 @@ def mel_spectrogram_pallas(
     y: jnp.ndarray,
     cfg: MelConfig = DEFAULT_MEL,
     *,
-    center: bool = True,
+    center=True,
     mag_eps: float = 0.0,
     return_linear: bool = False,
     algorithm: str = "split",
@@ -280,9 +287,11 @@ def mel_spectrogram_pallas(
     """Fused log-mel (and optional linear) spectrogram of (T,) or (B, T).
 
     center=True → Tacotron semantics; center=False with mag_eps=1e-9 →
-    HiFi-GAN semantics. algorithm: "split" (split-radix, half the MXU FLOPs)
-    or "full" (single-basis matmul).
-    Returns (..., n_mels, frames) [+ (..., 513, frames)].
+    HiFi-GAN semantics; center=None → no padding at all (the input is an
+    already-padded buffer; frames = 1 + (T - n_fft)//hop — matches
+    ``stft_magnitude(center=None)``, used by the batched cache build).
+    algorithm: "split" (split-radix, half the MXU FLOPs) or "full"
+    (single-basis matmul). Returns (..., n_mels, frames) [+ (..., 513, frames)].
     """
     # the kernels bind exactly n_fft//hop == 4 shifted signal views (the
     # default 1024/256 geometry); other ratios fall back to the XLA path
@@ -298,7 +307,12 @@ def mel_spectrogram_pallas(
         return mel
 
     T = y.shape[-1]
-    num_frames = 1 + T // cfg.hop_length if center else T // cfg.hop_length
+    if center is None:
+        num_frames = 1 + (T - cfg.n_fft) // cfg.hop_length
+    elif center:
+        num_frames = 1 + T // cfg.hop_length
+    else:
+        num_frames = T // cfg.hop_length
     fn = functools.partial(
         _mel_pallas_1d,
         cfg=cfg,
