@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-3 TPU evidence capture (VERDICT r2 next-round #1/#2/#9).
+#
+# Run this the moment the TPU tunnel is back. Captures, in cheapest-first
+# order so partial runs still yield evidence:
+#   1. bench.py              — headline JSON line (kernel + train metrics)
+#   2. bench_train.py        — per-model steps/s + the v2 trainer-loop
+#                              (prefetch feed vs device-only done-criterion)
+#   3. bench_ab_hifigan.py   — G/D ordering A/B reconfirmation
+#   4. bench_northstar.py    — FULL 1200-clip, full-size models (~hours)
+# Logs under /tmp/tpu_r3/; artifacts (northstar.json, ab_hifigan.json) are
+# written in-repo by the scripts themselves.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_r3
+mkdir -p "$OUT"
+echo "== capture started $(date) ==" | tee -a "$OUT/capture.log"
+
+run() {
+  name="$1"; tmo="$2"; shift 2
+  echo "-- $name: $* (timeout ${tmo}s) $(date)" | tee -a "$OUT/capture.log"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  rc=$?
+  echo "-- $name rc=$rc $(date)" | tee -a "$OUT/capture.log"
+  tail -3 "$OUT/$name.log" | tee -a "$OUT/capture.log"
+}
+
+run bench 1200 python bench.py
+run bench_train 2400 python bench_train.py
+run ab_hifigan 2400 python bench_ab_hifigan.py
+# full north star: 1200 clips, full-size models; give it 4h
+run northstar 14400 python bench_northstar.py
+echo "== capture finished $(date) ==" | tee -a "$OUT/capture.log"
