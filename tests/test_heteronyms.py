@@ -63,6 +63,16 @@ _SENTS = [
 
 @pytest.fixture
 def mini_nltk_tagger(tmp_path, monkeypatch):
+    # tests/ref_loader.py stubs `nltk` into sys.modules (the reference text
+    # module calls nltk.download at import); purge loaderless stubs so the
+    # REAL nltk imports here regardless of test ordering
+    import sys
+
+    for name in [n for n in list(sys.modules)
+                 if n == "nltk" or n.startswith("nltk.")]:
+        spec = getattr(sys.modules[name], "__spec__", None)
+        if spec is not None and spec.loader is None:
+            del sys.modules[name]
     nltk = pytest.importorskip("nltk")
     from nltk.tag.perceptron import PerceptronTagger
 

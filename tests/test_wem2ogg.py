@@ -305,3 +305,76 @@ def test_wem2ogg_tool_native_path(tmp_path, monkeypatch):
 
     dec, sr = load_wav(str(out / "voice.wav"), target_sr=48000)
     assert len(dec) == len(y)
+
+
+def test_write_packed_library_count_roundtrip(tmp_path):
+    """The final u32 is dual-purpose (last table entry + table pointer):
+    a written library must read back with EXACTLY the entry count written
+    (regression: a duplicated terminator created a phantom empty codebook)."""
+    books = [b"\x01\x02\x03", b"\x04\x05", b"\x06" * 7]
+    p = str(tmp_path / "lib.pcb")
+    write_packed_library(books, p)
+    lib = CodebookLibrary(p)
+    assert lib.count == len(books)
+    for i, b in enumerate(books):
+        assert lib.get(i) == b
+    with pytest.raises(WemParseError):
+        lib.get(len(books))
+
+
+def _parse_ogg_pages(blob):
+    import struct as _s
+
+    pages = []
+    pos = 0
+    while pos < len(blob):
+        assert blob[pos:pos + 4] == b"OggS"
+        flags = blob[pos + 5]
+        granule = _s.unpack_from("<q", blob, pos + 6)[0]
+        nsegs = blob[pos + 26]
+        lacing = blob[pos + 27: pos + 27 + nsegs]
+        body = sum(lacing)
+        pages.append({"flags": flags, "granule": granule,
+                      "lacing": list(lacing)})
+        pos += 27 + nsegs + body
+    return pages
+
+
+def test_ogg_page_split_granules():
+    """A page flushed mid-packet must carry the granule of the last packet
+    that COMPLETED on it (-1 only when none did — Ogg spec)."""
+    w = OggPageWriter()
+    for i in range(10):
+        w.add_packet(bytes(200), granule=i)
+    w.add_packet(bytes(80000), granule=99, eos=True)  # spans several pages
+    pages = _parse_ogg_pages(w.to_bytes())
+    # first page ends mid-big-packet but holds the 10 completed packets
+    assert pages[0]["granule"] == 9
+    assert pages[1]["flags"] & 0x01  # continuation
+    # middle pages where nothing completes carry -1
+    for p in pages[1:-1]:
+        assert p["granule"] == -1
+    assert pages[-1]["granule"] == 99
+    assert pages[-1]["flags"] & 0x04  # EOS
+
+
+def test_decode_any_falls_back_for_non_vorbis(tmp_path, monkeypatch):
+    """Corrupt/non-Vorbis .ogg and non-Vorbis .wem must fall through to the
+    ffmpeg fallback path (RuntimeError when absent), not raise parse errors."""
+    from xva_trainer_tpu.tools.audio_tools import decode_any
+
+    monkeypatch.setenv("PATH", "/nonexistent")  # no ffmpeg
+    bad_ogg = str(tmp_path / "bad.ogg")
+    with open(bad_ogg, "wb") as f:
+        f.write(b"OggS" + b"\x00" * 64)  # not a valid vorbis stream
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        decode_any(bad_ogg)
+    # ADPCM-ish wem: RIFF with an unknown codec tag
+    bad_wem = str(tmp_path / "bad.wem")
+    fmt = struct.pack("<HHIIHH", 0x0002, 1, 22050, 22050, 1, 4)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 8) + bytes(8))
+    with open(bad_wem, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        decode_any(bad_wem)

@@ -273,16 +273,24 @@ def build_wem(headers: List[bytes], audio: List[Tuple[bytes, int]],
         raise ValueError(variant)
 
     def vorb_payload(size: int) -> bytes:
+        # mirrors the generation-dependent field offsets (ww2ogg wwriff.cpp):
+        # 0x2A keeps offsets at 0x10/0x14 + blocksizes at 0x28/0x29; the
+        # older layouts keep offsets at 0x18/0x1C (+ blocksizes 0x30/0x31)
         v = bytearray(size)
         struct.pack_into("<I", v, 0x00, sample_count)
         if size == 0x2A:
             struct.pack_into("<I", v, 0x04, mod_signal)
-        struct.pack_into("<I", v, 0x10, setup_off)
-        struct.pack_into("<I", v, 0x14, audio_off)
-        struct.pack_into("<I", v, 0x24, 0xDEADBEEF)  # uid
-        if size != 0x28:
+            struct.pack_into("<I", v, 0x10, setup_off)
+            struct.pack_into("<I", v, 0x14, audio_off)
+            struct.pack_into("<I", v, 0x24, 0xDEADBEEF)  # uid
             v[0x28] = bs0_pow
             v[0x29] = bs1_pow
+        else:
+            struct.pack_into("<I", v, 0x18, setup_off)
+            struct.pack_into("<I", v, 0x1C, audio_off)
+            if size >= 0x32:
+                v[0x30] = bs0_pow
+                v[0x31] = bs1_pow
         return bytes(v)
 
     fmt_base = struct.pack("<HHIIHH", 0xFFFF, channels, sr, avg_bps, 0, 0)

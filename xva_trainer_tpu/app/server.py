@@ -530,6 +530,15 @@ class AppServer:
                         return {"ok": False,
                                 "error": "cannot move started items"}
                     q.insert(j, q.pop(i))
+                    # keep the resume position pointing at the same item
+                    # when a stopped mid-queue session is reordered
+                    qi = self.training.queue_index
+                    if i == qi:
+                        self.training.queue_index = j
+                    elif i < qi <= j:
+                        self.training.queue_index -= 1
+                    elif j <= qi < i:
+                        self.training.queue_index += 1
                 elif isinstance(body.get("config"), dict):
                     q[i].update(body["config"])
                 self.training.save_queue()
@@ -550,13 +559,17 @@ class AppServer:
                     self.manager.set_device(known["device"])
             return {"settings": self.app_settings}
         if path == "/serverLog":
-            # app-logger panel (reference javascript/appLogger.js)
+            # app-logger panel (reference javascript/appLogger.js). Polled
+            # every 3s while open — read only the file tail, not all 2MB.
             tail = int(body.get("tail", 80))
             for h in self.logger.handlers:
                 base = getattr(h, "baseFilename", None)
                 if base and os.path.exists(base):
-                    with open(base, encoding="utf8", errors="replace") as f:
-                        return {"lines": f.read().split("\n")[-tail:]}
+                    with open(base, "rb") as f:
+                        f.seek(0, os.SEEK_END)
+                        f.seek(max(0, f.tell() - 64 * 1024))
+                        text = f.read().decode("utf8", errors="replace")
+                    return {"lines": text.split("\n")[-tail:]}
             return {"lines": []}
         return {"error": f"unknown path {path}"}
 
@@ -940,15 +953,16 @@ def main():
     ap.add_argument("--ws-port", type=int, default=0)
     args = ap.parse_args()
     # precedence: CLI flags > ports.txt > persisted app settings > defaults
-    saved = load_app_settings()
-    args.http_port = args.http_port or saved["http_port"]
-    args.ws_port = args.ws_port or saved["ws_port"]
-    # ports.txt override (reference server.py:126-129)
-    if os.path.exists("ports.txt"):
+    if not (args.http_port and args.ws_port) and os.path.exists("ports.txt"):
+        # ports.txt (reference server.py:126-129) fills unset CLI ports
         with open("ports.txt") as f:
             lines = f.read().split()
             if len(lines) >= 2:
-                args.http_port, args.ws_port = int(lines[0]), int(lines[1])
+                args.http_port = args.http_port or int(lines[0])
+                args.ws_port = args.ws_port or int(lines[1])
+    saved = load_app_settings()
+    args.http_port = args.http_port or saved["http_port"]
+    args.ws_port = args.ws_port or saved["ws_port"]
     server = AppServer(args.http_port, args.ws_port)
     asyncio.run(server.serve_with_http())
 

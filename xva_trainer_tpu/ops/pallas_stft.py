@@ -295,15 +295,21 @@ def mel_spectrogram_pallas(
     """
     # the kernels bind exactly n_fft//hop == 4 shifted signal views (the
     # default 1024/256 geometry); other ratios fall back to the XLA path
-    # rather than crashing inside pallas_call with an arity mismatch
+    # rather than crashing inside pallas_call with an arity mismatch. The
+    # fallback must honor `center` — a center=None caller already padded the
+    # signal, and re-padding would shift every frame by n_fft//2 samples.
     if cfg.n_fft // cfg.hop_length != 4:
-        from .stft import linear_spectrogram, mel_spectrogram
+        from .stft import dynamic_range_compression, stft_magnitude
 
-        mel = mel_spectrogram(y if y.ndim > 1 else y[None], cfg)
+        yb = y if y.ndim > 1 else y[None]
+        mag = stft_magnitude(yb, cfg, center=center, mag_eps=mag_eps)
+        basis = jnp.asarray(mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+        mel = dynamic_range_compression(
+            jnp.einsum("mf,bft->bmt", basis, mag), cfg.clip_val)
         mel = mel if y.ndim > 1 else mel[0]
         if return_linear:
-            lin = linear_spectrogram(y if y.ndim > 1 else y[None], cfg)
-            return mel, (lin if y.ndim > 1 else lin[0])
+            return mel, (mag if y.ndim > 1 else mag[0])
         return mel
 
     T = y.shape[-1]

@@ -42,25 +42,31 @@ def decode_any(path: str, target_sr: int = TARGET_SR) -> Tuple[np.ndarray, int]:
     if path.lower().endswith((".ogg", ".oga")):
         from ..native.vorbis import decode_ogg
 
-        d = decode_ogg(path)
+        try:
+            d = decode_ogg(path)
+        except ValueError:
+            d = None  # Opus/FLAC-in-Ogg or corrupt stream → try ffmpeg
         if d is not None:
             y, sr = d
             if target_sr and sr != target_sr:
                 y, sr = resample(y, sr, target_sr), target_sr
             return y, sr
-        # no system libvorbis → ffmpeg fallback below
+        # no system libvorbis / non-Vorbis ogg → ffmpeg fallback below
     if path.lower().endswith(".wem"):
         d = decode_wem_pcm(path)
         if d is None:
             from ..native.vorbis import decode_ogg as _dec
-            from .wwise_vorbis import wem_to_ogg
+            from .wwise_vorbis import WemParseError, wem_to_ogg
 
             import tempfile
 
-            with tempfile.NamedTemporaryFile(suffix=".ogg") as tf:
-                tf.write(wem_to_ogg(path))
-                tf.flush()
-                d = _dec(tf.name)
+            try:
+                with tempfile.NamedTemporaryFile(suffix=".ogg") as tf:
+                    tf.write(wem_to_ogg(path))
+                    tf.flush()
+                    d = _dec(tf.name)
+            except (WemParseError, ValueError):
+                d = None  # ADPCM/other codec → try ffmpeg below
         if d is not None:
             y, sr = d
             if target_sr and sr != target_sr:

@@ -303,9 +303,11 @@ def write_packed_library(codebooks: List[bytes], path: str) -> None:
         offsets.append(len(blob))
         blob += cb
     table_off = len(blob)
-    offsets.append(table_off)
     for off in offsets:
         blob += struct.pack("<I", off)
+    # the final u32 is dual-purpose: last table entry (terminates the data
+    # region of the last codebook) AND the file-end pointer to the table —
+    # matching the shipped aoTuV layout (598 books → 599 table u32s)
     blob += struct.pack("<I", table_off)
     with open(path, "wb") as f:
         f.write(bytes(blob))
@@ -375,12 +377,17 @@ def parse_wem(data: bytes) -> WemInfo:
     if len(v) < 0x28:
         raise WemParseError("vorb chunk truncated")
     info.sample_count = struct.unpack_from("<I", v, 0x00)[0]
-    info.setup_packet_offset = struct.unpack_from("<I", v, 0x10)[0]
-    info.first_audio_packet_offset = struct.unpack_from("<I", v, 0x14)[0]
     info.header_triad = False
     info.mod_packets = False
 
+    # field offsets differ by generation: the modern 0x2A (and fmt-embedded)
+    # layout keeps setup/audio offsets at 0x10/0x14 and blocksize pows at
+    # 0x28/0x29; the older 0x28/0x2C/0x32/0x34 layouts keep the offsets at
+    # 0x18/0x1C (blocksizes at 0x30/0x31 where present) — per ww2ogg
+    # wwriff.cpp / vgmstream's Wwise parser.
     if vorb_size == 0x2A:
+        info.setup_packet_offset = struct.unpack_from("<I", v, 0x10)[0]
+        info.first_audio_packet_offset = struct.unpack_from("<I", v, 0x14)[0]
         # 2011+: external codebooks, 2-byte packet headers, mod packets
         # (unless the mod-signal byte opts out)
         mod_signal = struct.unpack_from("<I", v, 0x04)[0]
@@ -390,12 +397,16 @@ def parse_wem(data: bytes) -> WemInfo:
         info.packet_header = 2
         info.setup_mode = "external"
     elif vorb_size in (0x32, 0x34):
+        info.setup_packet_offset = struct.unpack_from("<I", v, 0x18)[0]
+        info.first_audio_packet_offset = struct.unpack_from("<I", v, 0x1C)[0]
         # ~2010: inline (spec-form) codebooks, 6-byte packet headers
-        info.blocksize_0_pow = v[0x28]
-        info.blocksize_1_pow = v[0x29]
+        info.blocksize_0_pow = v[0x30]
+        info.blocksize_1_pow = v[0x31]
         info.packet_header = 6
         info.setup_mode = "inline"
     elif vorb_size in (0x28, 0x2C):
+        info.setup_packet_offset = struct.unpack_from("<I", v, 0x18)[0]
+        info.first_audio_packet_offset = struct.unpack_from("<I", v, 0x1C)[0]
         # 2009: the three Vorbis headers are stored verbatim ("header triad")
         info.header_triad = True
         info.packet_header = 8
@@ -701,8 +712,10 @@ class OggPageWriter:
         while True:
             seg = min(255, n - pos)
             if len(self._lacing) == 255:
-                # page full mid-packet → flush as "no packet completes here"
-                self._emit(-1)
+                # page full mid-packet → flush with the granule of the last
+                # packet that COMPLETED on this page (-1 only when none did,
+                # per the Ogg spec), then continue on the next page
+                self._emit(self._granule)
                 self._continued = True
             self._lacing.append(seg)
             self._body += payload[pos:pos + seg]
@@ -712,7 +725,7 @@ class OggPageWriter:
             if pos == n:
                 # size is a multiple of 255: a zero lacing value terminates
                 if len(self._lacing) == 255:
-                    self._emit(-1)
+                    self._emit(self._granule)
                     self._continued = True
                 self._lacing.append(0)
                 break
