@@ -25,9 +25,10 @@ run() {
   tail -3 "$OUT/$name.log" | tee -a "$OUT/capture.log"
 }
 
-run bench 1200 python bench.py
+XVA_BENCH_BUDGET=1700 run bench 1800 python bench.py
 run bench_train 2400 python bench_train.py
 run ab_hifigan 2400 python bench_ab_hifigan.py
+run profile 1800 python scripts/profile_step.py
 # full north star: 1200 clips, full-size models; give it 4h
 run northstar 14400 python bench_northstar.py
 echo "== capture finished $(date) ==" | tee -a "$OUT/capture.log"
