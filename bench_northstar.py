@@ -133,7 +133,11 @@ def main():
 
     def batcher_for(stage):
         bs = stage_batch_size(args.batch_size, stage, max_len, n_dev)
-        b = BucketBatcher(cache, batch_size=bs)
+        # device_prior (trainer default): skip the host prior collate and its
+        # H2D transfer; the step materializes it on device (ops/attn_prior.py)
+        b = BucketBatcher(cache, batch_size=bs,
+                          with_prior=not cfg.device_prior,
+                          device_prior=cfg.device_prior)
         b.use_durs = stage >= 2 and cache.has_durations()
         return b
 

@@ -294,10 +294,14 @@ def bench_tts_infer(B=1, pad_to=256, iters=20):
     }
 
 
-def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2):
+def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2,
+                          device_prior=None):
     """Trainer-LOOP throughput (host collate + H2D + device step, the number
     a user actually sees) on a synthetic dataset — complements the
-    device-only step benches above."""
+    device-only step benches above.
+
+    device_prior: None → the trainer default (on). Pass False to measure the
+    old host-collated-prior feed for the A/B (scripts/tpu_round3_capture.sh)."""
     import tempfile
 
     import jax
@@ -328,10 +332,16 @@ def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2):
             f.write("\n".join(lines))
         cache = FeatureCache(ds, TextProcessor().encode)
         cache.build()
+        cfg_kw = {} if device_prior is None else {"device_prior": device_prior}
         cfg = FastPitchTrainConfig(output_dir=os.path.join(root, "out"),
-                                   batch_size=batch_size, force_stage=4)
+                                   batch_size=batch_size, force_stage=4,
+                                   **cfg_kw)
         tr = FastPitchTrainer(cache, cfg, FastPitchConfig())
-        batcher = BucketBatcher(cache, batch_size=batch_size)
+        # device_prior (default): the host never collates the (B, mel, text)
+        # prior and the feed never ships it — the step builds it on device
+        batcher = BucketBatcher(cache, batch_size=batch_size,
+                                with_prior=not cfg.device_prior,
+                                device_prior=cfg.device_prior)
         tr.setup(batcher)
         rng_j = jax.random.PRNGKey(0)
         # warm EVERY bucket shape first (each distinct mel length is its own

@@ -26,7 +26,17 @@ run() {
 }
 
 XVA_BENCH_BUDGET=1700 run bench 1800 python bench.py
-run bench_train 2400 python bench_train.py
+XVA_BENCH_LOOP=1 run bench_train 2400 python bench_train.py
+# device-prior A/B on the trainer loop (VERDICT r2 #9: one measured step win
+# with a before/after): host-collated prior feed vs on-device prior
+run loop_ab_prior 1800 python -c "
+import json
+from bench_train import bench_v2_trainer_loop, _enable_compile_cache
+_enable_compile_cache()
+host = bench_v2_trainer_loop(device_prior=False)
+dev = bench_v2_trainer_loop(device_prior=True)
+print(json.dumps({'host_prior': host, 'device_prior': dev}))
+"
 run ab_hifigan 2400 python bench_ab_hifigan.py
 run profile 1800 python scripts/profile_step.py
 # full north star: 1200 clips, full-size models; give it 4h

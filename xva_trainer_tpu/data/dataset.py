@@ -391,6 +391,7 @@ class BucketBatcher:
         with_prior: bool = True,
         pitch_normalize: bool = True,
         drop_last: bool = False,
+        device_prior: bool = False,
     ):
         self.cache = cache
         self.batch_size = batch_size
@@ -403,6 +404,10 @@ class BucketBatcher:
         self.pitch_std = stats["std"] if stats else 1.0
         self.pitch_normalize = pitch_normalize
         self.drop_last = drop_last
+        # the consumer's train step computes the attention prior on device
+        # (ops/attn_prior.py), so a missing host prior never blocks the
+        # aligner fallback
+        self.device_prior = device_prior
         self.use_durs = False  # flipped on once durations are pre-extracted
         # optional TextProcessor(p_arpabet=0.3) for the reference's per-word
         # ARPAbet training mix (fastpitch1_1/xva_train.py:307): texts are
@@ -501,8 +506,9 @@ class BucketBatcher:
             for i, it in enumerate(chunk):
                 d = self.cache.load_durations(it.item_id)
                 if d is None:
-                    if not self.with_prior:
-                        # no prior collated → the aligner fallback path can't
+                    if not self.with_prior and not self.device_prior:
+                        # no prior collated and the step can't materialize
+                        # one on device → the aligner fallback path can't
                         # run; substitute uniform durations for this item
                         # rather than emitting a batch the step can't trace
                         tl, ml = int(in_lens[i]), int(mel_lens[i])

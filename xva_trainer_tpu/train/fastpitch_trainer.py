@@ -58,6 +58,11 @@ class FastPitchTrainConfig:
     kl_warmup_epochs: float = 100.0
     # bf16 compute / fp32 masters (train/amp.py); reference AMP default-on
     use_amp: bool = True
+    # compute the beta-binomial attention prior on device from lengths
+    # (ops/attn_prior.py) instead of shipping the host-collated (B, mel_len,
+    # text_len) f32 tensor every step — cuts the largest H2D transfer and the
+    # per-item ndimage.zoom from the collate
+    device_prior: bool = True
 
     @property
     def grad_accum(self) -> int:
@@ -65,7 +70,8 @@ class FastPitchTrainConfig:
 
 
 def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformation,
-                    use_gt_durs: bool = False, use_amp: bool = True):
+                    use_gt_durs: bool = False, use_amp: bool = True,
+                    device_prior: bool = False):
     """Build the jitted train step for a stage. kl_weight is a traced scalar.
 
     use_gt_durs: stages ≥2 read pre-extracted durations from the batch instead
@@ -75,12 +81,27 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
     use_amp: bf16 compute / fp32 masters+losses (train/amp.py), the TPU
     analogue of the reference's default-on torch.cuda.amp; losses (CTC,
     binarization KL, staged MSEs) always accumulate fp32 on the cast-up
-    outputs, and MAS accumulates fp32 inside ops/mas.py."""
+    outputs, and MAS accumulates fp32 inside ops/mas.py.
+
+    device_prior: materialize the beta-binomial attention prior on device
+    from in_lens/mel_lens (ops/attn_prior.py) instead of reading the
+    host-collated ``batch["prior"]`` — drops the largest H2D tensor
+    (~8 MB/step at B=32) from the feed."""
     _apply = (functools.partial(amp.amp_apply, model.apply)
               if use_amp else model.apply)
 
     def _alignment_free(out_batch):
         return dict(durs_gt=out_batch["durs"], run_aligner=False)
+
+    def _prior(batch):
+        if not device_prior and "prior" in batch:
+            return batch["prior"]
+        from ..ops.attn_prior import beta_binomial_attn_prior
+
+        return beta_binomial_attn_prior(
+            batch["in_lens"], batch["mel_lens"],
+            t_x=batch["tokens"].shape[1], t_y=batch["mel"].shape[1],
+        )
 
     def loss_fn(params, batch, kl_weight, rng):
         common = dict(deterministic=False)
@@ -88,7 +109,7 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
         if stage == 1:
             out = _apply(
                 params, batch["tokens"], batch["in_lens"], batch["mel"],
-                batch["mel_lens"], batch["prior"], method=FastPitch.stage1,
+                batch["mel_lens"], _prior(batch), method=FastPitch.stage1,
                 rngs=rngs, **common,
             )
             return fp_loss.stage1_loss(out, batch["in_lens"], batch["mel_lens"], kl_weight)
@@ -101,14 +122,14 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
             else:
                 out = _apply(
                     params, batch["tokens"], batch["in_lens"], batch["mel"],
-                    batch["mel_lens"], batch["prior"], method=FastPitch.stage2,
+                    batch["mel_lens"], _prior(batch), method=FastPitch.stage2,
                     rngs=rngs, **common,
                 )
             return fp_loss.stage2_loss(out, batch["in_lens"])
         kw = _alignment_free(batch) if (use_gt_durs and "durs" in batch) else {}
         out = _apply(
             params, batch["tokens"], batch["in_lens"], batch["mel"],
-            batch["mel_lens"], batch["pitch"], batch["energy"], batch["prior"],
+            batch["mel_lens"], batch["pitch"], batch["energy"], _prior(batch),
             method=FastPitch.full, rngs=rngs, **kw, **common,
         )
         if stage == 3:
@@ -208,11 +229,13 @@ class FastPitchTrainer:
         use_gt = self.stage >= 2 and self.cache.has_durations()
         self._step_fn = make_stage_step(self.model, self.stage, self.tx,
                                         use_gt_durs=use_gt,
-                                        use_amp=self.cfg.use_amp)
+                                        use_amp=self.cfg.use_amp,
+                                        device_prior=self.cfg.device_prior)
         # per-stage H2D filter: stage 2 runs at a 12x batch multiplier
         # (pipeline.STAGE_BS_MULT) but its gt-durs step reads only
         # tokens/in_lens/durs — shipping the unused (B, mel_len, 80) mel and
-        # (B, mel_len, text_len) prior wastes most of the transfer
+        # (B, mel_len, text_len) prior wastes most of the transfer. With
+        # device_prior the prior never ships in any stage.
         if self.stage == 1:
             self._batch_keys = {"tokens", "in_lens", "mel", "mel_lens",
                                 "prior"}
@@ -220,6 +243,11 @@ class FastPitchTrainer:
             self._batch_keys = {"tokens", "in_lens", "durs"}
         else:
             self._batch_keys = None  # full batch
+        if self.cfg.device_prior:
+            if self._batch_keys is None:
+                self._batch_keys = {"tokens", "in_lens", "mel", "mel_lens",
+                                    "pitch", "energy", "durs"}
+            self._batch_keys = self._batch_keys - {"prior"}
 
     def extract_durations(self, batcher: BucketBatcher) -> int:
         """After stage 1: run the aligner once over the dataset, caching
@@ -229,6 +257,12 @@ class FastPitchTrainer:
 
         @_ft.partial(jax.jit)
         def align(params, tokens, in_lens, mel, mel_lens, prior):
+            if prior is None:  # device_prior: materialize from lengths
+                from ..ops.attn_prior import beta_binomial_attn_prior
+
+                prior = beta_binomial_attn_prior(
+                    in_lens, mel_lens, t_x=tokens.shape[1], t_y=mel.shape[1]
+                )
             out = self.model.apply(
                 params, tokens, in_lens, mel, mel_lens, prior,
                 method=FastPitch.stage1,
@@ -239,9 +273,11 @@ class FastPitchTrainer:
         with self.mesh:
             for batch in batcher.epoch(shuffle=False):
                 dev = shard_batch(self.mesh, batch)
+                prior = (None if self.cfg.device_prior
+                         else dev.get("prior"))
                 durs = np.asarray(
                     align(self.state.params, dev["tokens"], dev["in_lens"],
-                          dev["mel"], dev["mel_lens"], dev["prior"])
+                          dev["mel"], dev["mel_lens"], prior)
                 )
                 for i, item_id in enumerate(batch["ids"]):
                     tl = int(batch["in_lens"][i])

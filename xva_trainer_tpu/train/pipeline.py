@@ -130,9 +130,12 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
                               divisor=n_data)
         # stage 2 with pre-extracted durations never reads the attention
         # prior — skip the per-item betabinomial collate work at its 12x
-        # batch multiplier
-        with_prior = not (stage == 2 and cache.has_durations())
-        b = BucketBatcher(cache, batch_size=bs, with_prior=with_prior)
+        # batch multiplier. device_prior steps (the default) compute it on
+        # device from lengths, so the host never collates it at all.
+        with_prior = (not fp_cfg.device_prior
+                      and not (stage == 2 and cache.has_durations()))
+        b = BucketBatcher(cache, batch_size=bs, with_prior=with_prior,
+                          device_prior=fp_cfg.device_prior)
         b.arpabet_encoder = arpabet_tp
         # pre-extracted durations survive batcher swaps (see fp.train)
         b.use_durs = cache.has_durations()
