@@ -180,24 +180,28 @@ def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
     for b, l in enumerate(tlens):
         tokens[b, :l] = rng.integers(1, 524, l)
     slens = rng.integers(T_SPEC // 2, T_SPEC + 1, B).astype(np.int32)
+    # production feed (XvaTrainConfig.device_spec default): int16 audio, no
+    # linear spec — the step dequantizes + recomputes |STFT| on device
+    wav_f = (rng.standard_normal((B, T_SPEC * 256, 1)) * 0.1).astype(np.float32)
     batch = {
         "tokens": jnp.asarray(tokens),
         "tlens": jnp.asarray(tlens),
-        "linear": jnp.asarray(
-            np.abs(rng.standard_normal((B, T_SPEC, 513))).astype(np.float32)),
         "slens": jnp.asarray(slens),
         "pitch": jnp.asarray(rng.standard_normal((B, 1, T_SPEC)).astype(np.float32)),
         "energy": jnp.asarray(np.zeros((B, T_SPEC), np.float32)),
         "wav": jnp.asarray(
-            (rng.standard_normal((B, T_SPEC * 256, 1)) * 0.1).astype(np.float32)),
+            np.round(np.clip(wav_f, -1, 1) * 32767.0).astype(np.int16)),
         "dvec": jnp.asarray((rng.standard_normal((B, 512)) * 0.1).astype(np.float32)),
         "lang": jnp.asarray(np.zeros((B,), np.int32)),
     }
     rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
         ["params", "noise", "segments", "dropout"])}
+    from xva_trainer_tpu.train.xvapitch_trainer import _materialize_spec
+
+    lin0, wav0 = _materialize_spec(batch, hop=cfg.hop_length)
     g_params = model.init(
-        rngs, batch["tokens"], batch["tlens"], batch["linear"], batch["slens"],
-        batch["pitch"], batch["energy"], batch["wav"], batch["dvec"],
+        rngs, batch["tokens"], batch["tlens"], lin0, batch["slens"],
+        batch["pitch"], batch["energy"], wav0, batch["dvec"],
         batch["lang"],
     )
     seg = jnp.zeros((B, cfg.spec_segment_size * cfg.hop_length, 1))
@@ -373,6 +377,62 @@ def bench_v2_trainer_loop(n_clips=48, batch_size=16, epochs=2,
     return {"fastpitch_loop_frames_per_sec": frames_per_epoch * epochs / dt}
 
 
+def bench_v3_trainer_loop(n_clips=48, batch_size=32, steps=8,
+                          device_spec=None, model_cfg=None):
+    """xVAPitch trainer-LOOP throughput (XvaBatcher collate + H2D + fused
+    G+D step through the Prefetcher — XVAPitchTrainer.train) on a synthetic
+    single-bucket dataset; the flagship frames/s a user actually sees.
+
+    device_spec: None → trainer default (int16-audio feed, on-device linear
+    spec). Pass False to measure the f32 host-spec feed for the A/B."""
+    import tempfile
+
+    from xva_trainer_tpu.data import save_wav
+    from xva_trainer_tpu.data.dataset import Bucket
+    from xva_trainer_tpu.data.text.xva_processor import XvaTextProcessor
+    from xva_trainer_tpu.data.xva_dataset import XvaBatcher, XvaFeatureCache
+    from xva_trainer_tpu.models.xvapitch import XVAPitchConfig
+    from xva_trainer_tpu.train.xvapitch_trainer import (
+        XVAPitchTrainer,
+        XvaTrainConfig,
+    )
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as root:
+        ds = os.path.join(root, "en_bench")
+        os.makedirs(os.path.join(ds, "wavs"))
+        lines = []
+        for i in range(n_clips):
+            dur = rng.uniform(2.5, 4.2)  # ≤ the 384-frame bucket
+            t = np.arange(int(22050 * dur)) / 22050
+            y = (0.3 * np.sin(2 * np.pi * (120 + 2 * i) * t)).astype(np.float32)
+            save_wav(os.path.join(ds, "wavs", f"c{i}.wav"), y)
+            lines.append(
+                f"c{i}.wav|the quick brown fox jumps over the lazy dog number {i}")
+        with open(os.path.join(ds, "metadata.csv"), "w") as f:
+            f.write("\n".join(lines))
+        cache = XvaFeatureCache(ds, XvaTextProcessor())
+        cache.build()
+        batcher = XvaBatcher([cache], batch_size=batch_size,
+                             d_vector=np.zeros(512, np.float32),
+                             buckets=[Bucket(128, 384)])
+        kw = {} if device_spec is None else {"device_spec": device_spec}
+        cfg = XvaTrainConfig(
+            output_dir=os.path.join(root, "out"), batch_size=batch_size,
+            target_bs=batch_size, save_step=10**9, do_loss_sorting=False,
+            **kw,
+        )
+        tr = XVAPitchTrainer(batcher, cfg, model_cfg or XVAPitchConfig())
+        tr.setup(resume=False)
+        tr.train(max_steps=2)            # compile + prefetch warm
+        n0 = len(tr.meter.history)
+        tr.train(max_steps=2 + steps)    # timed window
+        hist = tr.meter.history[n0:]
+        return {
+            "xvapitch_loop_frames_per_sec": float(np.median(hist)),
+        }
+
+
 def bench_train_steps(include_xvapitch: bool = True, time_left=None,
                       on_update=None):
     """Run the train-step benches cheapest-first. ``time_left()`` (seconds)
@@ -398,6 +458,7 @@ def bench_train_steps(include_xvapitch: bool = True, time_left=None,
         plan.append(("tts_infer", 120.0, bench_tts_infer))
     if os.environ.get("XVA_BENCH_LOOP") == "1":
         plan.append(("v2_loop", 300.0, bench_v2_trainer_loop))
+        plan.append(("v3_loop", 600.0, bench_v3_trainer_loop))
 
     import sys
 

@@ -27,8 +27,9 @@ run() {
 
 XVA_BENCH_BUDGET=1700 run bench 1800 python bench.py
 XVA_BENCH_LOOP=1 run bench_train 2400 python bench_train.py
-# device-prior A/B on the trainer loop (VERDICT r2 #9: one measured step win
-# with a before/after): host-collated prior feed vs on-device prior
+# feed A/Bs (VERDICT r2 #9: measured step wins with before/afters):
+# v2 host-collated prior vs on-device prior; v3 f32 host-spec feed vs
+# int16-audio/device-spec feed
 run loop_ab_prior 1800 python -c "
 import json
 from bench_train import bench_v2_trainer_loop, _enable_compile_cache
@@ -36,6 +37,14 @@ _enable_compile_cache()
 host = bench_v2_trainer_loop(device_prior=False)
 dev = bench_v2_trainer_loop(device_prior=True)
 print(json.dumps({'host_prior': host, 'device_prior': dev}))
+"
+run loop_ab_spec 2400 python -c "
+import json
+from bench_train import bench_v3_trainer_loop, _enable_compile_cache
+_enable_compile_cache()
+host = bench_v3_trainer_loop(device_spec=False)
+dev = bench_v3_trainer_loop(device_spec=True)
+print(json.dumps({'host_spec': host, 'device_spec': dev}))
 "
 run ab_hifigan 2400 python bench_ab_hifigan.py
 run profile 1800 python scripts/profile_step.py

@@ -461,6 +461,13 @@ class XvaBatcher:
         self.hop = hop
         self.use_item_embs = True   # per-item se_embs/*.npy when present
         self.weighted_by_language = False
+        # device_spec (set by XVAPitchTrainer from XvaTrainConfig): don't
+        # collate the (B, mel_len, 513) f32 linear spec at all — the train
+        # step recomputes it on device from the waveform (trainer
+        # _materialize_spec) — and ship the wav as int16. Cuts the feed from
+        # ~150 MB to ~25 MB per B=128/384-frame batch and skips the 100 MB
+        # host read+transpose of the cached spec.
+        self.device_spec = False
         self._emb_cache: Dict[str, np.ndarray] = {}
         self._index: List = []  # (cache, item)
         for c in self.caches:
@@ -600,11 +607,13 @@ class XvaBatcher:
         loaded: Dict[str, Dict[str, np.ndarray]] = {}
         tokens = np.zeros((n, b.text_len), np.int32)
         tlens = np.ones((n,), np.int32)
-        linear = np.zeros((n, b.mel_len, 513), np.float32)
+        linear = (None if self.device_spec
+                  else np.zeros((n, b.mel_len, 513), np.float32))
         slens = np.ones((n,), np.int32)
         pitch = np.zeros((n, 1, b.mel_len), np.float32)
         energy = np.zeros((n, b.mel_len), np.float32)
-        wav = np.zeros((n, b.mel_len * self.hop, 1), np.float32)
+        wav_dtype = np.int16 if self.device_spec else np.float32
+        wav = np.zeros((n, b.mel_len * self.hop, 1), wav_dtype)
         lang = np.zeros((n,), np.int32)
         dvec = np.tile(self.d_vector[None], (n, 1))
         for i, (c, it) in enumerate(chunk):
@@ -616,18 +625,26 @@ class XvaBatcher:
             sl = min(d["linear"].shape[1], b.mel_len)
             tokens[i, :tl] = d["tokens"][:tl]
             tlens[i] = max(tl, 1)
-            linear[i, :sl] = d["linear"][:, :sl].T
+            if linear is not None:
+                linear[i, :sl] = d["linear"][:, :sl].T
             slens[i] = max(sl, 1)
             pitch[i, 0, :sl] = d["pitch"][:sl]
             energy[i, :sl] = d["energy"][:sl]
             w = d["wav"][: sl * self.hop]
+            if self.device_spec:
+                # symmetric int16: device dequant is wav/32767 (trainer
+                # _materialize_spec); round-trip error ≤ 1.5e-5 (−96 dB)
+                w = np.round(np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
             wav[i, : len(w), 0] = w
             lang[i] = int(np.asarray(d["lang_id"]).reshape(-1)[0])
             emb = self._item_emb(c, it)
             if emb is not None and emb.shape == dvec[i].shape:
                 dvec[i] = emb
-        return {
-            "tokens": tokens, "tlens": tlens, "linear": linear, "slens": slens,
+        out = {
+            "tokens": tokens, "tlens": tlens, "slens": slens,
             "pitch": pitch, "energy": energy, "wav": wav, "dvec": dvec,
             "lang": lang, "ids": ids,
         }
+        if linear is not None:
+            out["linear"] = linear
+        return out

@@ -81,6 +81,12 @@ class XvaTrainConfig:
     # bf16 compute / fp32 masters (train/amp.py) — reference defaults AMP on
     # (xva_train.py:551); on TPU this is GradScaler-free bf16
     use_amp: bool = True
+    # host ships raw int16 audio only; the step dequantizes and recomputes
+    # the 513-ch linear spec on device (_materialize_spec). Cuts the per-step
+    # H2D from ~150 MB to ~25 MB at B=128/384f and skips the host-side
+    # 100 MB spec read+transpose. The reference ships the full f32 spec every
+    # step (python/xvapitch/dataset.py:223-275 collate → cuda transfer).
+    device_spec: bool = True
 
     @property
     def gam(self) -> int:
@@ -142,6 +148,31 @@ def _keep_only_module_updates(updates, keep=("posterior_encoder", "waveform_deco
     return walk(updates)
 
 
+def _materialize_spec(batch, hop: int = 256):
+    """Return (linear, wav_f32) for a batch, computing on device when absent.
+
+    device_spec batches (XvaBatcher.device_spec) carry int16 audio and no
+    "linear": dequantize wav and take |STFT| on device (ops/stft.py, the
+    parity-tested AudioProcessor.spectrogram equivalent — reference
+    python/xvapitch/audio.py:632). Centered reflect framing over the shipped
+    sl*hop samples reproduces the cached spec exactly on frames 0..sl-2; only
+    the final valid frame (which reads ≤256 samples past the bucket
+    truncation point) can deviate, and frames ≥ slens are masked by the
+    posterior encoder's kernel-1 pre-conv (models/xvapitch/modules.py:101-102)
+    so junk there never leaks. Host batches pass straight through.
+    """
+    wav = batch["wav"]
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
+    if "linear" in batch:
+        return batch["linear"], wav
+    from ..ops.stft import linear_spectrogram
+
+    frames = wav.shape[1] // hop  # bucket mel_len (wav is mel_len*hop wide)
+    lin = linear_spectrogram(wav[..., 0])          # (B, 513, frames+1)
+    return jnp.swapaxes(lin, 1, 2)[:, :frames], wav
+
+
 def make_v3_step(
     model: XVAPitch,
     disc: VitsDiscriminator,
@@ -175,19 +206,20 @@ def make_v3_step(
             "segments": jax.random.fold_in(rng, 1),
             "dropout": jax.random.fold_in(rng, 2),
         }
+        linear, wav = _materialize_spec(batch, hop=model.cfg.hop_length)
 
         def g_loss_fn(g_params):
             if hifi_only:
                 out = _g_apply(
-                    g_params, batch["linear"], batch["slens"], batch["wav"],
+                    g_params, linear, batch["slens"], wav,
                     batch["dvec"],
                     method=XVAPitch.train_hifi_only, rngs=rngs,
                 )
             else:
                 out = _g_apply(
-                    g_params, batch["tokens"], batch["tlens"], batch["linear"],
+                    g_params, batch["tokens"], batch["tlens"], linear,
                     batch["slens"], batch["pitch"], batch["energy"],
-                    batch["wav"], batch["dvec"], batch["lang"],
+                    wav, batch["dvec"], batch["lang"],
                     method=XVAPitch.train_step, rngs=rngs,
                 )
             s_fake, f_fake, s_real, f_real = _d_apply(
@@ -272,10 +304,11 @@ def make_v3_loss_eval(model: XVAPitch, use_amp: bool = True):
             "segments": jax.random.fold_in(rng, 1),
             "dropout": jax.random.fold_in(rng, 2),
         }
+        linear, wav = _materialize_spec(batch, hop=model.cfg.hop_length)
         out = _g_apply(
-            g_params, batch["tokens"], batch["tlens"], batch["linear"],
+            g_params, batch["tokens"], batch["tlens"], linear,
             batch["slens"], batch["pitch"], batch["energy"],
-            batch["wav"], batch["dvec"], batch["lang"],
+            wav, batch["dvec"], batch["lang"],
             method=XVAPitch.train_step, rngs=rngs,
         )
         wav = out["waveform_seg"][..., 0]
@@ -367,6 +400,7 @@ class XVAPitchTrainer:
         for b_ in (batcher, priors_batcher):
             if b_ is not None:
                 b_.batch_divisor = n_data
+                b_.device_spec = cfg.device_spec
         self.logger = logger or TrainingLogger(cfg.output_dir)
         num_lines = len(batcher._index)
         self.target_deltas = xva_target_deltas(max(num_lines, 1))
@@ -438,9 +472,15 @@ class XVAPitchTrainer:
             "dropout": jax.random.PRNGKey(self.cfg.seed + 3),
         }
         to_j = lambda k: jnp.asarray(b[k])
+        # device_spec batches carry int16 audio and no "linear" — materialize
+        # both once (eagerly) for init, exactly as the jitted step will
+        linear, wav_f = _materialize_spec(
+            {k: to_j(k) for k in ("wav",) + (("linear",) if "linear" in b else ())},
+            hop=self.model.cfg.hop_length,
+        )
         g_params = self.model.init(
-            rngs, to_j("tokens"), to_j("tlens"), to_j("linear"), to_j("slens"),
-            to_j("pitch"), to_j("energy"), to_j("wav"), to_j("dvec"), to_j("lang"),
+            rngs, to_j("tokens"), to_j("tlens"), linear, to_j("slens"),
+            to_j("pitch"), to_j("energy"), wav_f, to_j("dvec"), to_j("lang"),
         )
         seg = jnp.zeros(
             (self.cfg.batch_size,
