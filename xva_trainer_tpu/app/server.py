@@ -558,6 +558,16 @@ class AppServer:
                     # accelerator backend (slow / blocking on a dead tunnel)
                     self.manager.set_device(known["device"])
             return {"settings": self.app_settings}
+        if path == "/datasetMetadata":
+            return self._dataset_metadata(body)
+        if path == "/newDataset":
+            return self._new_dataset(body)
+        if path == "/deleteDataset":
+            return self._delete_dataset(body["path"])
+        if path == "/removeDuplicates":
+            return self._remove_duplicates(body["path"])
+        if path == "/exportVoice":
+            return await self._export_voice(body)
         if path == "/serverLog":
             # app-logger panel (reference javascript/appLogger.js). Polled
             # every 3s while open — read only the file tail, not all 2MB.
@@ -701,6 +711,174 @@ class AppServer:
             with open(meta, "w", encoding="utf8") as f:
                 f.write("\n".join(rows))
         return {"ok": removed}
+
+    # -------------- dataset metadata / lifecycle (reference parity) --------
+
+    @staticmethod
+    def _compose_voice_id(game_code: str, voice_id: str) -> str:
+        """``<gameIdCode>_<voiceId>`` lowercased with spaces collapsed
+        (reference javascript/script.js:1320-1331)."""
+        code = game_code.strip().lower().replace(" ", "_")
+        vid = voice_id.strip().lower().replace(" ", "_")
+        return f"{code}_{vid}" if code else vid
+
+    def _dataset_metadata(self, body: Dict) -> Dict:
+        """Read or write ``dataset_metadata.json`` in the reference schema
+        (javascript/script.js:1229-1244): top-level author/license/lang/
+        modelVersion plus games[0]{gameId, voiceId, voiceName, gender}."""
+        ds = body["path"]
+        p = os.path.join(ds, "dataset_metadata.json")
+        meta: Dict = {}
+        if os.path.exists(p):
+            try:
+                with open(p, encoding="utf8") as f:
+                    meta = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                meta = {}
+        upd = body.get("set")
+        if isinstance(upd, dict):
+            meta.setdefault("version", "3.0")
+            meta.setdefault("modelType", "xVAPitch")
+            meta.setdefault("games", [{}])
+            for k in ("author", "license", "lang", "modelVersion"):
+                if k in upd:
+                    meta[k] = (str(upd[k]).strip().lower() if k == "lang"
+                               else upd[k])
+            game = meta["games"][0] if meta["games"] else {}
+            for k in ("gameId", "voiceId", "voiceName", "gender"):
+                if k in upd:
+                    game[k] = (upd[k].strip().lower()
+                               if k == "gameId" else upd[k])
+            if "voiceId" not in game:
+                game["voiceId"] = self._compose_voice_id(
+                    upd.get("gameIdCode", ""), os.path.basename(ds))
+            meta["games"] = [game] + list(meta.get("games", [])[1:])
+            os.makedirs(ds, exist_ok=True)
+            with open(p, "w", encoding="utf8") as f:
+                json.dump(meta, f, indent=4)
+        return {"metadata": meta, "exists": os.path.exists(p)}
+
+    def _new_dataset(self, body: Dict) -> Dict:
+        """Create ``<root>/<gameIdCode>_<voiceId>/wavs`` + the metadata files
+        (reference javascript/script.js:1222-1244)."""
+        root = body["datasets_root"]
+        vid = self._compose_voice_id(body.get("gameIdCode", ""),
+                                     body.get("voiceId")
+                                     or body.get("voiceName", "voice"))
+        ds = os.path.join(root, vid)
+        if os.path.exists(ds):
+            return {"ok": False, "error": f"dataset {vid} already exists"}
+        os.makedirs(os.path.join(ds, "wavs"))
+        open(os.path.join(ds, "metadata.csv"), "w").close()
+        self._dataset_metadata({"path": ds, "set": {
+            "author": body.get("author", ""),
+            "license": body.get("license", ""),
+            "lang": body.get("lang", "en"),
+            "modelVersion": body.get("modelVersion", "3.0"),
+            "gameId": body.get("gameId", "other"),
+            "voiceId": vid,
+            "voiceName": body.get("voiceName", vid),
+            "gender": body.get("gender", "other"),
+        }})
+        return {"ok": True, "path": ds, "voiceId": vid}
+
+    def _delete_dataset(self, ds: str) -> Dict:
+        """Delete a whole dataset folder (reference btn_deletedataset,
+        javascript/script.js). Refuses paths that don't look like datasets."""
+        import shutil
+
+        looks_like = (os.path.exists(os.path.join(ds, "metadata.csv"))
+                      or os.path.exists(os.path.join(ds,
+                                                     "dataset_metadata.json")))
+        if not looks_like:
+            return {"ok": False,
+                    "error": "not a dataset (no metadata.csv / "
+                             "dataset_metadata.json)"}
+        shutil.rmtree(ds)
+        return {"ok": True}
+
+    def _remove_duplicates(self, ds: str) -> Dict:
+        """Remove every record whose wav name appears more than once — lines
+        AND wav files, matching the reference's remove-all-duplicates button
+        (javascript/script.js:1268-1305)."""
+        meta = os.path.join(ds, "metadata.csv")
+        if not os.path.exists(meta):
+            return {"ok": False, "error": "no metadata.csv"}
+        with open(meta, encoding="utf8") as f:
+            rows = [ln for ln in f.read().split("\n") if ln.strip()]
+        counts: Dict[str, int] = {}
+        for ln in rows:
+            stem = os.path.splitext(ln.split("|")[0])[0]
+            counts[stem] = counts.get(stem, 0) + 1
+        dup_stems = {s for s, c in counts.items() if c > 1}
+        kept = [ln for ln in rows
+                if os.path.splitext(ln.split("|")[0])[0] not in dup_stems]
+        removed_wavs = 0
+        for stem in dup_stems:
+            wav = os.path.join(ds, "wavs", stem + ".wav")
+            if os.path.exists(wav):
+                os.remove(wav)
+                removed_wavs += 1
+        with open(meta, "w", encoding="utf8") as f:
+            f.write("\n".join(kept))
+        return {"ok": True, "removed_lines": len(rows) - len(kept),
+                "removed_wavs": removed_wavs}
+
+    async def _export_voice(self, body: Dict) -> Dict:
+        """Model-export flow (reference javascript/train.js:870-941): find
+        ``<training_dir>/<voice>.pt``, merge ``dataset_metadata.json`` into
+        the training JSON, copy both to ``out_dir`` under the final voiceId,
+        and synthesize a preview wav."""
+        import shutil
+
+        ds = body["dataset_path"]
+        voice = os.path.basename(os.path.normpath(ds))
+        tdir = body["training_dir"]
+        out_dir = body["out_dir"]
+        ckpt = os.path.join(tdir, f"{voice}.pt")
+        if not os.path.exists(ckpt):
+            nested = os.path.join(tdir, voice, f"{voice}.pt")
+            if os.path.exists(nested):
+                ckpt = nested
+            else:
+                return {"ok": False,
+                        "error": f"no {voice}.pt under {tdir} — "
+                                 "has it been trained yet?"}
+        tjson = os.path.splitext(ckpt)[0] + ".json"
+        training = {}
+        if os.path.exists(tjson):
+            with open(tjson, encoding="utf8") as f:
+                training = json.load(f)
+        dmeta = self._dataset_metadata({"path": ds})["metadata"]
+        games = dmeta.get("games") or [{}]
+        voice_id = games[0].get("voiceId") or voice
+        for k in ("author", "license", "lang"):
+            if k in dmeta:
+                training[k] = dmeta[k]
+        tgames = training.setdefault("games", [{}])
+        for k in ("gameId", "voiceId", "gender", "voiceName"):
+            if k in games[0]:
+                tgames[0][k] = games[0][k]
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"{voice_id}.json"), "w",
+                  encoding="utf8") as f:
+            json.dump(training, f, indent=4)
+        shutil.copyfile(ckpt, os.path.join(out_dir, f"{voice_id}.pt"))
+        out = {"ok": True, "voiceId": voice_id,
+               "pt": os.path.join(out_dir, f"{voice_id}.pt"),
+               "json": os.path.join(out_dir, f"{voice_id}.json")}
+        if body.get("preview", True):
+            try:
+                prev = await self._export_wav({
+                    "xvap_ckpt": ckpt,
+                    "emb": tgames[0].get("base_speaker_emb") or None,
+                    "out_path": os.path.join(out_dir, f"{voice_id}.wav"),
+                    "lang": training.get("lang", "en"),
+                })
+                out["preview"] = prev.get("path")
+            except Exception as e:  # preview failure shouldn't lose the export
+                out["preview_error"] = str(e)
+        return out
 
     async def _export_wav(self, body: Dict) -> Dict:
         """Preview synthesis + loudness normalization round trip
