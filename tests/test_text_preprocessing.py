@@ -160,3 +160,34 @@ def test_chinese_longest_match_segmentation(tmp_path):
     _, cleaned = tp.text_to_sequence("你好世")
     symbols = [s for s in cleaned.split("|") if s != "<PAD>"]
     assert symbols == ["N", "I3", "HH", "AO3", "SH", "I4"], symbols
+
+
+def test_shipped_dicts_stock_host():
+    """With NO base_dir, the gzipped shipped lexicons (assets/dicts/) load so
+    dictionary G2P works out of the box — the reference always has its
+    bundled dicts (text_preprocessing.py:304-448); r2 VERDICT missing #2."""
+    tp = XvaTextPreprocessor("en")  # no base_dir at all
+    sizes = [len(d) for d in tp.dicts]
+    assert any(s > 100_000 for s in sizes), sizes  # cmudict tier present
+    assert any(tp.dict_is_custom), "elder-scrolls custom dict tier missing"
+    out = tp.dict_replace("I saw a chameleon.", custom=False)
+    assert "{K AH0 M IY1 L IY0 AH0 N}" in out
+    # a non-espeak language with a shipped lexicon
+    ro = XvaTextPreprocessor("ro")
+    assert ro.dicts and len(ro.dicts[0]) > 50_000
+
+
+def test_shipped_dict_cache_and_override(tmp_path):
+    """User <base_dir>/dicts/<name>.txt overrides the shipped .gz; parsed
+    lexicons are cached process-wide."""
+    import time as _t
+
+    d = tmp_path / "dicts"
+    d.mkdir()
+    (d / "cmudict.txt").write_text("zzzcustom Z Z Z\n")
+    tp = XvaTextPreprocessor("en", base_dir=str(tmp_path))
+    assert tp.dicts[0] == {"zzzcustom": "Z Z Z"}  # override won
+    t0 = _t.perf_counter()
+    tp2 = XvaTextPreprocessor("en")  # shipped tier, cached by earlier tests
+    assert _t.perf_counter() - t0 < 2.0
+    assert len(tp2.dicts[0]) > 100_000

@@ -334,15 +334,24 @@ class XvaTextPreprocessor:
         ]
 
         self.heteronyms: Dict[str, Dict[str, str]] = {}
+        # dictionary tiers: a user-provided <base_dir>/dicts/<name> always
+        # wins; otherwise the shipped gzipped lexicon (assets/dicts/) fills
+        # in, so dict G2P works on a stock install with no base_dir at all
+        # (the reference always has its bundled dicts available,
+        # text_preprocessing.py:304-448)
+        shipped_dicts = os.path.normpath(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", "assets", "dicts"))
+        for is_custom, key in ((False, "dicts"), (True, "custom_dicts")):
+            for d in self.spec.get(key, []):
+                cands = ([os.path.join(base_dir, "dicts", d)]
+                         if base_dir else [])
+                cands.append(os.path.join(shipped_dicts, d + ".gz"))
+                for p in cands:
+                    if os.path.exists(p):
+                        self.load_dict(p, is_custom=is_custom)
+                        break
         if base_dir:
-            for d in self.spec.get("dicts", []):
-                p = os.path.join(base_dir, "dicts", d)
-                if os.path.exists(p):
-                    self.load_dict(p, is_custom=False)
-            for d in self.spec.get("custom_dicts", []):
-                p = os.path.join(base_dir, "dicts", d)
-                if os.path.exists(p):
-                    self.load_dict(p, is_custom=True)
             cache = self.spec.get("cache")
             if cache:
                 self.load_g2p_cache(os.path.join(base_dir, "g2p_cache", cache))
@@ -363,17 +372,38 @@ class XvaTextPreprocessor:
 
     # ---------------- dictionaries ----------------
 
+    # parsed+remapped lexicons are immutable once loaded — cache them
+    # process-wide so repeated preprocessor construction (one per dataset /
+    # tool run) doesn't re-parse the 135k-word cmudict each time
+    _DICT_CACHE: Dict[tuple, Dict[str, str]] = {}
+
     def load_dict(self, path: str, is_custom: bool = False):
+        key = (os.path.abspath(path), os.path.getmtime(path),
+               bool(self.spec.get("remap_cmu")))
+        cached = self._DICT_CACHE.get(key)
+        if cached is not None:
+            self.dicts.append(cached)
+            self.dict_is_custom.append(is_custom)
+            return
         pron: Dict[str, str] = {}
-        if path.endswith(".txt"):
-            with codecs.open(path, encoding="utf-8") as f:
-                for line in f.read().split("\n"):
-                    if line.strip():
-                        word = line.split(" ")[0].lower()
-                        pron[word] = " ".join(line.split(" ")[1:]).strip().upper()
-        elif path.endswith(".json"):
-            with codecs.open(path, encoding="utf-8") as f:
-                data = json.load(f)
+        inner = path[:-3] if path.endswith(".gz") else path
+
+        def _read_text(p):
+            if p.endswith(".gz"):
+                import gzip
+
+                with gzip.open(p, "rt", encoding="utf-8") as f:
+                    return f.read()
+            with codecs.open(p, encoding="utf-8") as f:
+                return f.read()
+
+        if inner.endswith(".txt"):
+            for line in _read_text(path).split("\n"):
+                if line.strip():
+                    word = line.split(" ")[0].lower()
+                    pron[word] = " ".join(line.split(" ")[1:]).strip().upper()
+        elif inner.endswith(".json"):
+            data = json.loads(_read_text(path))
             for word, entry in data.get("data", {}).items():
                 if entry.get("enabled"):
                     pron[word.lower()] = entry["arpabet"].upper()
@@ -386,6 +416,7 @@ class XvaTextPreprocessor:
                     phones = phones.replace(f" {k} ", f" {v} ")
                     phones = phones.replace(f" {k} ", f" {v} ")
                 pron[word] = phones
+        self._DICT_CACHE[key] = pron
         self.dicts.append(pron)
         self.dict_is_custom.append(is_custom)
 
