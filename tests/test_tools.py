@@ -158,3 +158,45 @@ def test_cluster_and_search(tmp_path):
     assert len(names) == 6
     # same-voice files must rank first
     assert all("v0" in n for n in names[:3]), names
+
+
+def test_transcribe_resume_is_extension_insensitive(tmp_path):
+    """LJSpeech-style stem keys in metadata.csv must count as already
+    transcribed (and empty-text lines must be filled in place, not
+    duplicated) — tools/text_tools.py resume vs reference
+    transcribe/model.py:118-133."""
+    from xva_trainer_tpu.tools.text_tools import TranscribeTool
+
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for n in ("a", "b", "c"):
+        save_wav(str(wavs / f"{n}.wav"), _tone())
+    # a: stem key w/ text (must be skipped); b: empty text (must be filled
+    # in place under the same key); c: absent (appended)
+    (tmp_path / "metadata.csv").write_text("a|kept text\nb|")
+
+    calls = []
+
+    def fake_asr(wav16k):
+        calls.append(len(wav16k))
+        return "asr text"
+
+    TranscribeTool.set_asr_backend(fake_asr)
+    try:
+        tool = TranscribeTool()
+        run(tool.run({"inPath": str(wavs),
+                      "outputDirectory": str(tmp_path),
+                      "toolSettings": {}}))
+    finally:
+        TranscribeTool._asr_backend = None
+
+    assert len(calls) == 2  # b and c only — a's transcript is kept
+    rows = dict(
+        line.split("|", 1)
+        for line in (tmp_path / "metadata.csv").read_text().splitlines()
+        if line.strip()
+    )
+    assert rows["a"] == "kept text"
+    assert rows["b"] == "asr text"          # filled under the stem key
+    assert rows["c.wav"] == "asr text"      # new record appended
+    assert len(rows) == 3                   # no stem/.wav duplicates

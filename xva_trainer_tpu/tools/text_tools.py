@@ -136,15 +136,26 @@ class TranscribeTool(BaseTool):
                         k, v = line.strip().split("|", 1)
                         existing[k] = v
         files = list_audio_files(in_path)
-        done = sum(1 for f in files if os.path.basename(f) in existing)
+        # resume matching is extension-insensitive: LJSpeech-style metadata
+        # keys are stems ("LJ001-0001") while files carry ".wav" — comparing
+        # raw keys would re-transcribe (and duplicate) every resumed record
+        done_stems = {os.path.splitext(k)[0] for k, v in existing.items()
+                      if v.strip()}
+        done = sum(1 for f in files
+                   if os.path.splitext(os.path.basename(f))[0] in done_stems)
         self.write_progress(out_dir, done, len(files))
         for f in files:
             name = os.path.basename(f)
-            if name in existing:
+            if os.path.splitext(name)[0] in done_stems:
                 continue
             y, sr = decode_any(f)
             text = backend(resample(y, sr, 16000))
-            existing[name] = text
+            # write back under an existing key for this stem (an empty-text
+            # line awaiting transcription) rather than adding a duplicate row
+            stem = os.path.splitext(name)[0]
+            key = next((k for k in existing
+                        if os.path.splitext(k)[0] == stem), name)
+            existing[key] = text
             done += 1
             if done % 10 == 0:  # incremental flush every 10 files (:219-257)
                 self._flush(meta_path, existing)
