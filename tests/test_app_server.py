@@ -252,3 +252,27 @@ def test_queue_reorder_and_duplicate(tmp_path, monkeypatch):
     with open("training_queue.json") as f:
         saved = json.load(f)
     assert [q["dataset_path"] for q in saved["queue"]] == ["/c", "/a", "/a", "/b"]
+
+
+def test_ui_dom_ids_consistent():
+    """Every element id the inline script looks up must exist as an id= in
+    the markup (no browser/JS runtime in CI — this catches the typo class of
+    UI breakage), and JS braces/parens must balance outside strings."""
+    import re
+
+    from xva_trainer_tpu.app.server import _ui_html
+
+    html = _ui_html()
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    script = html[html.index("<script>"):html.index("</script>")]
+    wanted = set(re.findall(r"getElementById\('([^']+)'\)", script))
+    missing = wanted - ids
+    assert not missing, f"JS references missing element ids: {sorted(missing)}"
+
+    # strip strings/comments, then require balanced delimiters
+    stripped = re.sub(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"|`(?:\\.|[^`\\])*`",
+                      "", script)
+    stripped = re.sub(r"//[^\n]*", "", stripped)
+    stripped = re.sub(r"/\*.*?\*/", "", stripped, flags=re.S)
+    for o, c in (("{", "}"), ("(", ")"), ("[", "]")):
+        assert stripped.count(o) == stripped.count(c), f"unbalanced {o}{c}"
