@@ -276,3 +276,29 @@ def test_ui_dom_ids_consistent():
     stripped = re.sub(r"/\*.*?\*/", "", stripped, flags=re.S)
     for o, c in (("{", "}"), ("(", ")"), ("[", "]")):
         assert stripped.count(o) == stripped.count(c), f"unbalanced {o}{c}"
+
+
+def test_import_metadata_merge(tmp_path):
+    """Drag-drop import endpoint: named rows update in place (extension-
+    insensitive), new names append, nameless .txt lines get fresh auto
+    names — reference javascript/script.js:658-760."""
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    (ds / "metadata.csv").write_text("a|old text\nb.wav|keep me")
+
+    server = AppServer(logger=_quiet_logger())
+    r = run(server.handle_http("/importMetadata", {"path": str(ds), "lines": [
+        {"name": "a.wav", "text": "new text"},   # updates stem key "a"
+        {"name": "c.wav", "text": "fresh"},      # appended
+        {"text": "typed line one"},              # auto-named
+        {"text": "typed line two"},
+    ]}))
+    assert r == {"ok": True, "updated": 1, "added": 3}
+    rows = dict(ln.split("|", 1)
+                for ln in (ds / "metadata.csv").read_text().splitlines() if ln)
+    assert rows["a"] == "new text"
+    assert rows["b.wav"] == "keep me"
+    assert rows["c.wav"] == "fresh"
+    assert rows["line_0.wav"] == "typed line one"
+    assert rows["line_1.wav"] == "typed line two"
+    assert len(rows) == 5

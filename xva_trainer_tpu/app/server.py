@@ -558,6 +558,8 @@ class AppServer:
                     # accelerator backend (slow / blocking on a dead tunnel)
                     self.manager.set_device(known["device"])
             return {"settings": self.app_settings}
+        if path == "/importMetadata":
+            return self._import_metadata(body["path"], body.get("lines") or [])
         if path == "/datasetMetadata":
             return self._dataset_metadata(body)
         if path == "/newDataset":
@@ -688,6 +690,43 @@ class AppServer:
         with open(meta, "w", encoding="utf8") as f:
             f.write("\n".join(rows))
         return {"ok": True}
+
+    def _import_metadata(self, dataset_path: str, lines) -> Dict:
+        """Merge dropped .csv/.txt records into metadata.csv (reference
+        drag-drop import, javascript/script.js:658-760): named rows update or
+        append; nameless rows (.txt lines) get fresh auto names."""
+        meta = os.path.join(dataset_path, "metadata.csv")
+        rows: Dict[str, str] = {}
+        if os.path.exists(meta):
+            with open(meta, encoding="utf8") as f:
+                for line in f.read().split("\n"):
+                    if line.strip():
+                        k, _, v = line.partition("|")
+                        rows[k] = v
+        stems = {os.path.splitext(k)[0] for k in rows}
+        updated = added = 0
+        auto = 0
+        for item in lines:
+            text = str(item.get("text", "")).strip()
+            name = str(item.get("name") or "").strip()
+            if not name:
+                while f"line_{auto}" in stems:
+                    auto += 1
+                name = f"line_{auto}.wav"
+                stems.add(f"line_{auto}")
+            key = name if name in rows else next(
+                (k for k in rows
+                 if os.path.splitext(k)[0] == os.path.splitext(name)[0]), name)
+            if key in rows:
+                updated += 1
+            else:
+                added += 1
+                stems.add(os.path.splitext(key)[0])
+            rows[key] = text
+        os.makedirs(dataset_path, exist_ok=True)
+        with open(meta, "w", encoding="utf8") as f:
+            f.write("\n".join(f"{k}|{v}" for k, v in rows.items()))
+        return {"ok": True, "updated": updated, "added": added}
 
     def _delete_record(self, dataset_path: str, name: str) -> Dict:
         """Remove a record's metadata line (reference explorer line delete,
