@@ -181,6 +181,7 @@ def main():
                             / REFERENCE_XVAP_FRAMES_PER_SEC, 3),
                         "mel_frames_per_sec_per_chip": round(r["pallas"], 1),
                         "mel_vs_xla_fft": round(r["pallas"] / r["xla_fft"], 3),
+                        "platform": platform,
                     }
                     line.update(extras)
                 else:
