@@ -480,4 +480,17 @@ def bench_train_steps(include_xvapitch: bool = True, time_left=None,
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench_train_steps()))
+    import sys
+
+    _t0 = time.monotonic()
+    _budget = float(os.environ.get("XVA_BENCH_TRAIN_BUDGET", "0"))
+
+    def _time_left():
+        return _budget - (time.monotonic() - _t0)
+
+    def _stream(partial):
+        # stream each sub-bench as it lands so a timeout still yields evidence
+        print(f"partial: {json.dumps(partial)}", file=sys.stderr, flush=True)
+
+    print(json.dumps(bench_train_steps(
+        time_left=_time_left if _budget > 0 else None, on_update=_stream)))
