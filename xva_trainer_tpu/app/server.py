@@ -358,6 +358,7 @@ class AppServer:
         self.manager = ModelsManager(self.logger)
         self.training = TrainingSession(self)
         self.app_settings = load_app_settings()
+        self._tq_task: Optional[asyncio.Task] = None  # text-quality pipeline
         self.ready = True
 
     def save_app_settings(self) -> None:
@@ -568,6 +569,14 @@ class AppServer:
             return self._delete_dataset(body["path"])
         if path == "/removeDuplicates":
             return self._remove_duplicates(body["path"])
+        if path == "/prepText":
+            return self._prep_text(body)
+        if path == "/cleanData":
+            return self._clean_data(body["path"])
+        if path == "/checkTextQuality":
+            return self._start_text_quality(body)
+        if path == "/textQualityStatus":
+            return self._text_quality_status(body["path"])
         if path == "/exportVoice":
             return await self._export_voice(body)
         if path == "/serverLog":
@@ -862,6 +871,143 @@ class AppServer:
             f.write("\n".join(kept))
         return {"ok": True, "removed_lines": len(rows) - len(kept),
                 "removed_wavs": removed_wavs}
+
+    def _prep_text(self, body: Dict) -> Dict:
+        """Preprocess-text panel (reference javascript/tools.js:788-875):
+        optional metadata backup, drop blank transcripts, drop lines whose
+        text contains any listed bad character, remove duplicate file names
+        (all occurrences, like the reference), rewrite as name|text|text."""
+        ds = body["path"]
+        meta = os.path.join(ds, "metadata.csv")
+        if not os.path.exists(meta):
+            return {"ok": False, "error": "no metadata.csv"}
+        with open(meta, encoding="utf8") as f:
+            rows = [ln for ln in f.read().split("\n") if ln.strip()]
+        if body.get("backup", True):
+            import shutil
+
+            shutil.copyfile(meta, os.path.join(ds, "metadata_backup.csv"))
+        bad_chars = body.get("filter_chars") or []
+        if isinstance(bad_chars, str):
+            bad_chars = [c for c in bad_chars.split(",") if c]
+        counts: Dict[str, int] = {}
+        parsed = []
+        for ln in rows:
+            parts = ln.split("|")
+            name, text = parts[0], parts[1] if len(parts) > 1 else ""
+            parsed.append((name, text))
+            counts[name] = counts.get(name, 0) + 1
+        kept = []
+        for name, text in parsed:
+            if body.get("filter_blanks", True) and not text.strip():
+                continue
+            if bad_chars and any(c in text for c in bad_chars):
+                continue
+            if body.get("remove_duplicates", False) and counts[name] > 1:
+                continue
+            kept.append(f"{name}|{text}|{text}")
+        with open(meta, "w", encoding="utf8") as f:
+            f.write("\n".join(kept))
+        return {"ok": True, "kept": len(kept),
+                "removed": len(rows) - len(kept)}
+
+    def _clean_data(self, ds: str) -> Dict:
+        """Clean-data panel (reference javascript/tools.js:973-1008): drop
+        metadata lines whose wav is missing; delete wavs absent from the
+        metadata."""
+        meta = os.path.join(ds, "metadata.csv")
+        wav_dir = os.path.join(ds, "wavs")
+        if not os.path.exists(meta):
+            return {"ok": False, "error": "no metadata.csv"}
+        with open(meta, encoding="utf8") as f:
+            rows = [ln for ln in f.read().split("\n") if ln.strip()]
+        names = set()
+        kept = []
+        for ln in rows:
+            stem = os.path.splitext(ln.split("|")[0])[0]
+            name = stem + ".wav"
+            names.add(name)
+            if os.path.exists(os.path.join(wav_dir, name)):
+                kept.append(ln)
+        if len(kept) != len(rows):
+            with open(meta, "w", encoding="utf8") as f:
+                f.write("\n".join(kept))
+        removed_wavs = 0
+        if os.path.isdir(wav_dir):
+            for fname in os.listdir(wav_dir):
+                if fname.endswith(".wav") and fname not in names:
+                    os.remove(os.path.join(wav_dir, fname))
+                    removed_wavs += 1
+        return {"ok": True, "removed_lines": len(rows) - len(kept),
+                "removed_wavs": removed_wavs}
+
+    def _start_text_quality(self, body: Dict) -> Dict:
+        """One-click text-quality pipeline (reference
+        javascript/tools.js:883-967): a fresh ASR pass over the whole dataset
+        into <ds>/.asr_reference/, then WER vs the user transcripts →
+        <ds>/wer_report.txt — the file the explorer's WER column reads.
+        Runs as a background task; poll /textQualityStatus."""
+        ds = body["path"]
+        if self._tq_task is not None and not self._tq_task.done():
+            return {"ok": False, "error": "a text-quality run is in progress"}
+
+        async def _run():
+            asr_dir = os.path.join(ds, ".asr_reference")
+            os.makedirs(asr_dir, exist_ok=True)
+            asr_meta = os.path.join(asr_dir, "metadata.csv")
+            if os.path.exists(asr_meta):
+                # fresh pass: score the CURRENT audio, not a stale resume
+                # (reference sets ignore_existing_transcript=true)
+                os.remove(asr_meta)
+            tool = await self.manager.init_model("transcribe")
+            await tool.run({"inPath": os.path.join(ds, "wavs"),
+                            "outputDirectory": asr_dir,
+                            "toolSettings": body.get("toolSettings") or {}},
+                           None)
+            if not os.path.exists(asr_meta):
+                raise RuntimeError(
+                    "transcription produced no output — configure an ASR "
+                    "backend in the transcribe tool settings")
+            wtool = await self.manager.init_model("wer_evaluation")
+            await wtool.run({"userMetadata": meta,
+                             "inputDirectory2": asr_meta,
+                             "outputFile": os.path.join(ds,
+                                                        "wer_report.txt")},
+                            None)
+
+        meta = os.path.join(ds, "metadata.csv")
+        if not os.path.exists(meta):
+            return {"ok": False, "error": "no metadata.csv"}
+        self._tq_task = asyncio.create_task(_run())
+        return {"ok": True, "started": True}
+
+    def _text_quality_status(self, ds: str) -> Dict:
+        t = self._tq_task
+        status: Dict = {"running": bool(t and not t.done())}
+        if t is not None and t.done():
+            try:
+                exc = t.exception()
+            except asyncio.CancelledError:
+                exc = None
+            if exc:
+                status["error"] = str(exc)
+        prog = os.path.join(ds, ".asr_reference", ".progress.txt")
+        if os.path.exists(prog):
+            with open(prog) as f:
+                status["progress"] = f.read().strip()
+        rep = os.path.join(ds, "wer_report.txt")
+        if os.path.exists(rep):
+            wers = []
+            with open(rep, encoding="utf8") as f:
+                for ln in f:
+                    try:
+                        wers.append(float(ln.split("|")[0]))
+                    except (ValueError, IndexError):
+                        pass
+            if wers:
+                status["mean_wer"] = round(sum(wers) / len(wers), 4)
+                status["n_scored"] = len(wers)
+        return status
 
     async def _export_voice(self, body: Dict) -> Dict:
         """Model-export flow (reference javascript/train.js:870-941): find
