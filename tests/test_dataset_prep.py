@@ -104,3 +104,29 @@ def test_check_text_quality_pipeline(tmp_path):
     by_name = {it["name"]: it for it in info["items"]}
     assert by_name["a.wav"]["wer"] == 0.0
     assert by_name["b.wav"]["wer"] > 0
+
+
+def test_list_datasets(tmp_path):
+    """Dataset browser payload (reference script.js:226-233): dirs with a
+    metadata.csv or wavs/ folder only, with record counts."""
+    server = _server()
+    root = tmp_path / "datasets"
+    root.mkdir()
+    a = root / "voice_a"
+    (a / "wavs").mkdir(parents=True)
+    (a / "metadata.csv").write_text("x.wav|one\ny.wav|two\n")
+    (root / "voice_b" / "wavs").mkdir(parents=True)   # wavs, no metadata
+    (root / "not_a_dataset").mkdir()                  # neither -> excluded
+    (root / "stray.txt").write_text("file, not dir")
+
+    out = run(server.handle_http("/listDatasets", {"path": str(root)}))
+    got = {d["name"]: d for d in out["datasets"]}
+    assert set(got) == {"voice_a", "voice_b"}
+    assert got["voice_a"]["records"] == 2
+    assert got["voice_b"]["records"] == 0
+    assert got["voice_a"]["path"] == str(a)
+
+    # falls back to the app-settings datasets path
+    server.app_settings["datasets_path"] = str(root)
+    out = run(server.handle_http("/listDatasets", {}))
+    assert {d["name"] for d in out["datasets"]} == {"voice_a", "voice_b"}

@@ -569,6 +569,8 @@ class AppServer:
             return self._delete_dataset(body["path"])
         if path == "/removeDuplicates":
             return self._remove_duplicates(body["path"])
+        if path == "/listDatasets":
+            return self._list_datasets(body.get("path"))
         if path == "/prepText":
             return self._prep_text(body)
         if path == "/cleanData":
@@ -871,6 +873,28 @@ class AppServer:
             f.write("\n".join(kept))
         return {"ok": True, "removed_lines": len(rows) - len(kept),
                 "removed_wavs": removed_wavs}
+
+    def _list_datasets(self, root: Optional[str]) -> Dict:
+        """Dataset browser (reference javascript/script.js:226-233): every
+        dir under the datasets path that has a metadata.csv or a wavs/
+        folder, with a record count for the sidebar label."""
+        root = root or self.app_settings.get("datasets_path") or ""
+        out = []
+        if root and os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                d = os.path.join(root, name)
+                meta = os.path.join(d, "metadata.csv")
+                if not os.path.isdir(d):
+                    continue
+                if not (os.path.exists(meta)
+                        or os.path.isdir(os.path.join(d, "wavs"))):
+                    continue
+                n = 0
+                if os.path.exists(meta):
+                    with open(meta, encoding="utf8", errors="replace") as f:
+                        n = sum(1 for ln in f if ln.strip())
+                out.append({"name": name, "path": d, "records": n})
+        return {"datasets": out, "root": root}
 
     def _prep_text(self, body: Dict) -> Dict:
         """Preprocess-text panel (reference javascript/tools.js:788-875):
