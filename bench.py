@@ -9,7 +9,7 @@ budget.
 
 Cold-machine robustness (round-1 verdict #1): a watchdog thread emits the
 best-available metric line and exits rc=0 at XVA_BENCH_BUDGET seconds
-(default 540) even if a cold compile is still in flight; sub-benches run
+(default 1200) even if a cold compile is still in flight; sub-benches run
 cheapest-first and update the pending line incrementally; XLA-internal AOT
 caches are never persisted/loaded (they are machine-feature-keyed and
 SIGILL-prone across hosts — jax_persistent_cache_enable_xla_caches="none").
@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 _T0 = time.monotonic()
-_BUDGET = float(os.environ.get("XVA_BENCH_BUDGET", "540"))
+_BUDGET = float(os.environ.get("XVA_BENCH_BUDGET", "1200"))
 _PRINT_LOCK = threading.Lock()
 _STATE = {"line": None, "printed": False}
 

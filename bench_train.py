@@ -12,13 +12,16 @@ with one blocking readback at the end; best of 3 repetitions (the 1-CPU
 host + tunnel scheduler add large run-to-run noise).
 Reference dev-note baseline: xVAPitch ~17-18k frames/s on 2 GPUs
 (training_util.py:48-56) → ~8.5-9k frames/s/GPU.
-Measured v5e single chip (2026-08-17, bf16 mixed precision — train/amp.py):
-xVAPitch 91.9k frames/s @ B=64/384f (10.5x the reference per-GPU note;
-71.1k @ B=32, 61.7k @ B=16), FastPitch stage-4 29.3 steps/s (370k frames/s),
-HiFi-GAN 11.0 G+D steps/s @ B=16 (was 8.5 fp32 with the old two-forward
-step), fused mel kernel 8.7M frames/s, TTS serving 91.5ms / RTF 130x for the
-static 1024-frame graph, trainer-LOOP (host feed incl., B=16, 1-CPU host)
-9.5k frames/s.
+Measured v5e single chip (2026-08-18, bf16 mixed precision — train/amp.py):
+xVAPitch 106.4k frames/s @ B=128/384f (12.2x the reference per-GPU note),
+FastPitch stage-4 29.7 steps/s (376k frames/s), HiFi-GAN 11.1 G+D steps/s
+@ B=16, fused mel kernel 7.2M frames/s (1.74x XLA FFT), TTS serving 86.6ms /
+RTF 137x for the static 1024-frame graph. Trainer LOOPS (production prefetch
+host feed included, 1-CPU host): xVAPitch 73.3k frames/s = 69% of the
+device-only step (round-1 criterion: >=50%; was 9.5k = 8.7% before the
+prefetch + device-spec feed — the int16-audio/device-spec feed alone is a
+5.0x loop win, 14.7k -> 73.3k), FastPitch 42.5k frames/s (on-device
+attention prior: 20.8k -> 48.4k in the A/B).
 """
 import json
 import os
@@ -447,13 +450,18 @@ def bench_train_steps(include_xvapitch: bool = True, time_left=None,
         return {k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in d.items()}
 
-    # (name, worst-case cold seconds incl. tunnel compile, callable)
-    plan = [
+    # (name, worst-case cold seconds incl. tunnel compile, callable).
+    # xVAPitch runs FIRST: it is the headline metric bench.py's JSON line is
+    # named after — on a tight budget the flagship must land before the
+    # cheaper secondary benches (the 540s driver run used to spend its whole
+    # budget on mel+fastpitch+hifigan warm-loads and skip it).
+    plan = []
+    if include_xvapitch:
+        plan.append(("xvapitch", 240.0, bench_xvapitch))
+    plan += [
         ("fastpitch", 150.0, bench_fastpitch),
         ("hifigan", 150.0, bench_hifigan),
     ]
-    if include_xvapitch:
-        plan.append(("xvapitch", 240.0, bench_xvapitch))
     if os.environ.get("XVA_BENCH_INFER", "1") != "0":
         plan.append(("tts_infer", 120.0, bench_tts_infer))
     if os.environ.get("XVA_BENCH_LOOP") == "1":

@@ -1,6 +1,7 @@
 """Dataset-prep panels: /prepText, /cleanData, /checkTextQuality
 (reference javascript/tools.js:788-1008)."""
 import asyncio
+import os
 import logging
 
 import numpy as np
@@ -130,3 +131,65 @@ def test_list_datasets(tmp_path):
     server.app_settings["datasets_path"] = str(root)
     out = run(server.handle_http("/listDatasets", {}))
     assert {d["name"] for d in out["datasets"]} == {"voice_a", "voice_b"}
+
+
+def test_noise_profile_recording_denoise(tmp_path, monkeypatch):
+    """Mic noise removal (reference sox noisered pipe, script.js:1074-1090):
+    a saved noise profile + the record_noise_removal setting attenuates a
+    stationary tone in subsequent recordings."""
+    import io
+
+    from scipy.io import wavfile
+
+    monkeypatch.chdir(tmp_path)
+    server = _server()
+    ds = tmp_path / "ds"
+    (ds / "wavs").mkdir(parents=True)
+
+    def wav_bytes(y):
+        buf = io.BytesIO()
+        wavfile.write(buf, 22050, (y * 32767).astype(np.int16))
+        return buf.getvalue()
+
+    t = np.arange(22050) / 22050.0
+    noise = 0.2 * np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+    speechy = (0.5 * np.sin(2 * np.pi * 220 * t) + noise).astype(np.float32)
+
+    r = server.save_noise_profile(wav_bytes(noise))
+    assert r["ok"] and os.path.exists(tmp_path / "noise_profile.wav")
+
+    server.app_settings["record_noise_removal"] = True
+    server.app_settings["noise_removal_strength"] = 0.5
+    r = server.save_recording(str(ds), "rec1.wav", wav_bytes(speechy))
+    assert r["ok"]
+    _, cleaned = wavfile.read(ds / "wavs" / "rec1.wav")
+    cleaned = cleaned.astype(np.float32) / 32767.0
+
+    def band_power(y, f):
+        spec = np.abs(np.fft.rfft(y))
+        k = int(f * len(y) / 22050)
+        return spec[k - 3:k + 4].max()
+
+    # the 3 kHz noise band drops by >6 dB; the 220 Hz "speech" keeps >50%
+    assert band_power(cleaned, 3000) < 0.5 * band_power(speechy, 3000)
+    assert band_power(cleaned, 220) > 0.5 * band_power(speechy, 220)
+
+    # setting off -> recording stored untouched
+    server.app_settings["record_noise_removal"] = False
+    server.save_recording(str(ds), "rec2.wav", wav_bytes(speechy))
+    _, raw = wavfile.read(ds / "wavs" / "rec2.wav")
+    raw = raw.astype(np.float32) / 32767.0
+    assert band_power(raw, 3000) > 0.9 * band_power(speechy, 3000)
+
+
+def test_app_settings_reset(tmp_path, monkeypatch):
+    """Reset-to-defaults (reference reset_settings_btn,
+    settingsMenu.js:147-156)."""
+    monkeypatch.chdir(tmp_path)
+    server = _server()
+    run(server.handle_http("/appSettings", {"set": {
+        "pagination_size": 7, "theme": "light"}}))
+    assert server.app_settings["pagination_size"] == 7
+    out = run(server.handle_http("/appSettings", {"reset": True}))
+    assert out["settings"]["pagination_size"] == 100
+    assert out["settings"]["theme"] == "dark"

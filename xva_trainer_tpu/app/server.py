@@ -343,6 +343,13 @@ APP_SETTINGS_DEFAULTS = {
     "output_path": "",
     "theme": "dark",
     "prompt_before_delete": True,
+    # explorer page size + mic-recording noise removal (reference
+    # javascript/settingsMenu.js:128-145: paginationSize, removeNoise,
+    # noiseRemStrength — the reference pipes recordings through sox
+    # noisered with a saved noise profile, script.js:1074-1090)
+    "pagination_size": 100,
+    "record_noise_removal": False,
+    "noise_removal_strength": 0.25,
 }
 APP_SETTINGS_FILE = "app_settings.json"
 
@@ -547,6 +554,12 @@ class AppServer:
             return {"ok": False, "error": "bad index"}
         if path == "/appSettings":
             # server-persisted app settings (reference settingsMenu.js:201-249)
+            if body.get("reset"):
+                # reset-to-defaults (reference reset_settings_btn,
+                # settingsMenu.js:147-156)
+                self.app_settings = dict(APP_SETTINGS_DEFAULTS)
+                self.save_app_settings()
+                return {"settings": self.app_settings}
             if isinstance(body.get("set"), dict):
                 known = {k: v for k, v in body["set"].items()
                          if k in APP_SETTINGS_DEFAULTS}
@@ -671,12 +684,52 @@ class AppServer:
         name = os.path.basename(name)
         if not name.endswith(".wav"):
             name += ".wav"
+        # optional mic noise removal against a saved profile (reference sox
+        # noisered pipe on recordings, javascript/script.js:1074-1090)
+        if self.app_settings.get("record_noise_removal"):
+            prof = os.path.join(os.getcwd(), "noise_profile.wav")
+            if os.path.exists(prof):
+                from scipy.io import wavfile as _wf
+
+                from ..tools.audio_tools import NoiseRemovalTool
+
+                _, noise = _wf.read(prof)
+                noise = noise.astype(np.float32) / 32767.0
+                tool = NoiseRemovalTool()
+                y = tool._denoise(
+                    y, tool._profile(noise),
+                    float(self.app_settings.get("noise_removal_strength",
+                                                0.25)))
         wav_dir = os.path.join(dataset_path, "wavs")
         os.makedirs(wav_dir, exist_ok=True)
         save_wav(os.path.join(wav_dir, name), y)
         if text:
             self._update_transcript(dataset_path, name, text)
         return {"ok": True, "name": name, "seconds": len(y) / 22050.0}
+
+    def save_noise_profile(self, wav_bytes: bytes) -> Dict:
+        """Store a mic clip as the noise profile used by
+        ``save_recording``'s optional denoise (reference keeps a
+        ``noise_profile_file`` next to the app, script.js:1079)."""
+        import io
+
+        import numpy as np
+        from scipy.io import wavfile
+
+        from ..data.audio_io import save_wav
+        from ..data.audio_io import resample as _resample
+
+        sr, data = wavfile.read(io.BytesIO(wav_bytes))
+        if data.dtype.kind in "iu":
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        y = data.astype(np.float32)
+        if y.ndim > 1:
+            y = y.mean(axis=1)
+        if sr != 22050:
+            y = _resample(y, sr, 22050)
+        p = os.path.join(os.getcwd(), "noise_profile.wav")
+        save_wav(p, y)
+        return {"ok": True, "path": p, "seconds": len(y) / 22050.0}
 
     def _update_transcript(self, dataset_path: str, name: str, text: str) -> Dict:
         meta = os.path.join(dataset_path, "metadata.csv")
@@ -1281,6 +1334,18 @@ class AppServer:
                             self.wfile.write(raw)
                             return
                     self._respond(b'{"error": "not found"}', 404)
+                    return
+                if self.path.startswith("/uploadNoiseProfile"):
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length)
+                    try:
+                        self._respond(json.dumps(
+                            app.save_noise_profile(raw)).encode())
+                    except Exception:
+                        err = traceback.format_exc()
+                        app.logger.error(err)
+                        self._respond(json.dumps({"error": err}).encode(),
+                                      500)
                     return
                 if self.path.startswith("/uploadRecording"):
                     # raw wav bytes; dataset/name in the query string
