@@ -9,8 +9,9 @@ budget.
 
 Cold-machine robustness (round-1 verdict #1): a watchdog thread emits the
 best-available metric line and exits rc=0 at XVA_BENCH_BUDGET seconds
-(default 1200) even if a cold compile is still in flight; sub-benches run
-cheapest-first and update the pending line incrementally; XLA-internal AOT
+(default 1200) even if a cold compile is still in flight; the flagship
+xvapitch train bench runs first, the cheaper secondaries after, and each
+updates the pending line incrementally; XLA-internal AOT
 caches are never persisted/loaded (they are machine-feature-keyed and
 SIGILL-prone across hosts — jax_persistent_cache_enable_xla_caches="none").
 """
@@ -164,7 +165,7 @@ def main():
 
     extras = {}
     if platform != "cpu" and os.environ.get("XVA_BENCH_TRAIN", "1") != "0":
-        # full-size train-step benchmarks, cheapest-first; each sub-bench
+        # full-size train-step benchmarks, flagship-first; each sub-bench
         # updates the pending line so the watchdog always has the best-so-far
         try:
             from bench_train import bench_train_steps

@@ -438,7 +438,7 @@ def bench_v3_trainer_loop(n_clips=48, batch_size=32, steps=8,
 
 def bench_train_steps(include_xvapitch: bool = True, time_left=None,
                       on_update=None):
-    """Run the train-step benches cheapest-first. ``time_left()`` (seconds)
+    """Run the train-step benches flagship-first. ``time_left()`` (seconds)
     gates each sub-bench by a worst-case cold-compile estimate so a cold run
     on a slow machine reports what fits instead of timing out with nothing;
     ``on_update(partial)`` streams each result to the caller (bench.py keeps

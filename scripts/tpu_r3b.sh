@@ -12,9 +12,16 @@ OUT=/tmp/tpu_r3
 mkdir -p "$OUT"
 echo "== capture part 2 started $(date) ==" | tee -a "$OUT/capture.log"
 
-# wait for any still-running ab_hifigan from part 1 (orphaned child)
+# wait for any still-running ab_hifigan from part 1 (orphaned child) —
+# bounded: a stale/recycled pid must not silently eat the capture window
+deadline=$(( $(date +%s) + 3600 ))
 while pid=$(cat "$OUT/wait.pid" 2>/dev/null) && [ -n "${pid:-}" ] \
       && kill -0 "$pid" 2>/dev/null; do
+  if [ "$(date +%s)" -ge "$deadline" ]; then
+    echo "wait.pid $pid still alive after 1h — proceeding anyway" \
+      | tee -a "$OUT/capture.log"
+    break
+  fi
   sleep 15
 done
 

@@ -17,7 +17,9 @@ rc=0
 if [ "$what" = "bench" ] || [ "$what" = "both" ]; then
   echo "== cold bench.py (budget ${XVA_BENCH_BUDGET:-540}s) =="
   start=$(date +%s)
-  XVA_COLD=1 timeout 600 python bench.py
+  # pin the watchdog under the external timeout: the shipping default is
+  # 1200s, which would let `timeout 600` SIGTERM the process line-less
+  XVA_COLD=1 XVA_BENCH_BUDGET="${XVA_BENCH_BUDGET:-540}" timeout 600 python bench.py
   r=$?
   echo "bench.py: rc=$r  wall=$(( $(date +%s) - start ))s"
   [ $r -ne 0 ] && rc=1

@@ -366,6 +366,7 @@ class AppServer:
         self.training = TrainingSession(self)
         self.app_settings = load_app_settings()
         self._tq_task: Optional[asyncio.Task] = None  # text-quality pipeline
+        self._tq_dataset: Optional[str] = None
         self.ready = True
 
     def save_app_settings(self) -> None:
@@ -557,8 +558,12 @@ class AppServer:
             if body.get("reset"):
                 # reset-to-defaults (reference reset_settings_btn,
                 # settingsMenu.js:147-156)
+                device_changed = (self.app_settings["device"]
+                                  != APP_SETTINGS_DEFAULTS["device"])
                 self.app_settings = dict(APP_SETTINGS_DEFAULTS)
                 self.save_app_settings()
+                if device_changed:
+                    self.manager.set_device(self.app_settings["device"])
                 return {"settings": self.app_settings}
             if isinstance(body.get("set"), dict):
                 known = {k: v for k, v in body["set"].items()
@@ -657,16 +662,15 @@ class AppServer:
         return {"items": items, "duplicates": dupes,
                 "untranscribed": [f for f in extra if f.endswith(".wav")]}
 
-    def save_recording(self, dataset_path: str, name: str, wav_bytes: bytes,
-                       text: str = "") -> Dict:
-        """Store a browser mic recording into <dataset>/wavs/ as 22050 Hz
-        mono and register its transcript line."""
+    @staticmethod
+    def _decode_mic_wav(wav_bytes: bytes):
+        """Browser mic upload → 22050 Hz mono float32 (shared by recordings
+        and the noise profile)."""
         import io
 
         import numpy as np
         from scipy.io import wavfile
 
-        from ..data.audio_io import save_wav
         from ..data.audio_io import resample as _resample
 
         sr, data = wavfile.read(io.BytesIO(wav_bytes))
@@ -681,6 +685,17 @@ class AppServer:
             y = y.mean(axis=1)
         if sr != 22050:
             y = _resample(y, sr, 22050)
+        return y
+
+    def save_recording(self, dataset_path: str, name: str, wav_bytes: bytes,
+                       text: str = "") -> Dict:
+        """Store a browser mic recording into <dataset>/wavs/ as 22050 Hz
+        mono and register its transcript line."""
+        import numpy as np
+
+        from ..data.audio_io import save_wav
+
+        y = self._decode_mic_wav(wav_bytes)
         name = os.path.basename(name)
         if not name.endswith(".wav"):
             name += ".wav"
@@ -711,22 +726,9 @@ class AppServer:
         """Store a mic clip as the noise profile used by
         ``save_recording``'s optional denoise (reference keeps a
         ``noise_profile_file`` next to the app, script.js:1079)."""
-        import io
-
-        import numpy as np
-        from scipy.io import wavfile
-
         from ..data.audio_io import save_wav
-        from ..data.audio_io import resample as _resample
 
-        sr, data = wavfile.read(io.BytesIO(wav_bytes))
-        if data.dtype.kind in "iu":
-            data = data.astype(np.float32) / np.iinfo(data.dtype).max
-        y = data.astype(np.float32)
-        if y.ndim > 1:
-            y = y.mean(axis=1)
-        if sr != 22050:
-            y = _resample(y, sr, 22050)
+        y = self._decode_mic_wav(wav_bytes)
         p = os.path.join(os.getcwd(), "noise_profile.wav")
         save_wav(p, y)
         return {"ok": True, "path": p, "seconds": len(y) / 22050.0}
@@ -1028,7 +1030,7 @@ class AppServer:
         if self._tq_task is not None and not self._tq_task.done():
             return {"ok": False, "error": "a text-quality run is in progress"}
 
-        async def _run():
+        async def _pipeline():
             asr_dir = os.path.join(ds, ".asr_reference")
             os.makedirs(asr_dir, exist_ok=True)
             asr_meta = os.path.join(asr_dir, "metadata.csv")
@@ -1052,16 +1054,29 @@ class AppServer:
                                                         "wer_report.txt")},
                             None)
 
+        def _run_in_thread():
+            # the tools are blocking CPU loops with no awaits — run the whole
+            # pipeline on its own loop in a worker thread so this server's
+            # event loop (every HTTP/WS endpoint + the status poll) stays
+            # responsive
+            asyncio.new_event_loop().run_until_complete(_pipeline())
+
         meta = os.path.join(ds, "metadata.csv")
         if not os.path.exists(meta):
             return {"ok": False, "error": "no metadata.csv"}
-        self._tq_task = asyncio.create_task(_run())
+        self._tq_dataset = ds
+        self._tq_task = asyncio.create_task(asyncio.to_thread(_run_in_thread))
         return {"ok": True, "started": True}
 
     def _text_quality_status(self, ds: str) -> Dict:
         t = self._tq_task
         status: Dict = {"running": bool(t and not t.done())}
-        if t is not None and t.done():
+        if status["running"] and self._tq_dataset != ds:
+            # the single runner is busy with ANOTHER dataset — don't let its
+            # state masquerade as this one's
+            status["running"] = False
+            status["busy_with"] = self._tq_dataset
+        if t is not None and t.done() and self._tq_dataset == ds:
             try:
                 exc = t.exception()
             except asyncio.CancelledError:
