@@ -162,3 +162,57 @@ def test_stage_transitions_never_skip_stage_4():
         if t.finish_epoch([1.0]):
             break
     assert t.stage == 4  # completing stage 4 ends the run without advancing
+
+
+def test_half_feed_matches_f32_feed(dataset):
+    """The float16 host feed (BucketBatcher.half_feed) must ship f16 mel/
+    pitch/energy and produce the same stage-4 loss as the f32 feed to within
+    f16 rounding of the inputs."""
+    import jax
+
+    from xva_trainer_tpu.train.fastpitch_trainer import (
+        TrainState,
+        make_stage_step,
+    )
+    from xva_trainer_tpu.train.optim import make_fastpitch_optimizer
+
+    cache, out_dir = dataset
+    half = BucketBatcher(cache, batch_size=4, buckets=[Bucket(32, 128)],
+                         seed=0, half_feed=True)
+    full = BucketBatcher(cache, batch_size=4, buckets=[Bucket(32, 128)],
+                         seed=0, half_feed=False)
+    bh = next(half.epoch(shuffle=False))
+    bf = next(full.epoch(shuffle=False))
+    assert bh["mel"].dtype == np.float16 and bh["pitch"].dtype == np.float16
+    assert bf["mel"].dtype == np.float32
+    assert bh["mel"].nbytes * 2 == bf["mel"].nbytes
+    np.testing.assert_allclose(bh["mel"].astype(np.float32), bf["mel"],
+                               rtol=2e-3, atol=2e-3)
+
+    import jax.numpy as jnp
+
+    from xva_trainer_tpu.models.fastpitch import FastPitch
+
+    model = FastPitch(TINY_MODEL)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(bf["tokens"]), jnp.asarray(bf["in_lens"]),
+        jnp.asarray(bf["mel"]), jnp.asarray(bf["mel_lens"]),
+        jnp.asarray(bf["pitch"]), jnp.asarray(bf["energy"]),
+        jnp.asarray(bf["prior"]),
+    )
+    tx = make_fastpitch_optimizer(0.05, 1e-6, 2)
+    step = make_stage_step(model, 4, tx, use_gt_durs=False, use_amp=False)
+
+    def run(b):
+        # the step donates its state — give each run its own buffer copies
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(params=p, opt_state=tx.init(p),
+                           step=jnp.zeros((), jnp.int32))
+        sel = {k: v for k, v in b.items() if k != "ids"}
+        _, meta = step(state, sel, jnp.asarray(0.0), jax.random.PRNGKey(7))
+        return float(meta["loss"])
+
+    l_half, l_full = run(bh), run(bf)
+    assert np.isfinite(l_half) and np.isfinite(l_full)
+    assert abs(l_half - l_full) < 0.02 * max(1.0, abs(l_full))

@@ -138,6 +138,11 @@ def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformati
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, kl_weight, rng):
+        # the host feed ships dense features as float16 (half the H2D bytes,
+        # BucketBatcher.half_feed); cast back up on device before any math
+        batch = {k: (v.astype(jnp.float32)
+                     if hasattr(v, "dtype") and v.dtype == jnp.float16 else v)
+                 for k, v in batch.items()}
         (loss, meta), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, kl_weight, rng
         )
@@ -208,8 +213,10 @@ class FastPitchTrainer:
         params = self.model.init(
             rng,
             jnp.asarray(batch["tokens"]), jnp.asarray(batch["in_lens"]),
-            jnp.asarray(batch["mel"]), jnp.asarray(batch["mel_lens"]),
-            jnp.asarray(batch["pitch"]), jnp.asarray(batch["energy"]),
+            jnp.asarray(batch["mel"], jnp.float32),
+            jnp.asarray(batch["mel_lens"]),
+            jnp.asarray(batch["pitch"], jnp.float32),
+            jnp.asarray(batch["energy"], jnp.float32),
             jnp.asarray(prior),
         )
         return params
@@ -257,6 +264,7 @@ class FastPitchTrainer:
 
         @_ft.partial(jax.jit)
         def align(params, tokens, in_lens, mel, mel_lens, prior):
+            mel = mel.astype(jnp.float32)  # f16 host feed → f32 on device
             if prior is None:  # device_prior: materialize from lengths
                 from ..ops.attn_prior import beta_binomial_attn_prior
 
