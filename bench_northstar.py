@@ -152,7 +152,10 @@ def main():
         if stage == 1:
             tr.setup(batcher, resume=False)
         else:
-            tr.state = tr.state.replace(opt_state=tr.tx.init(tr.state.params))
+            tr.reset_opt_state()  # re-committed: bare tx.init triggers a
+            # full recompile of every bucket shape on the NEXT epoch (the
+            # r3 north-star's 208s/epoch stage-2 "steady state" was exactly
+            # those recompiles; true steady epochs are <1s)
         # warm-up epoch = compile + first pass
         t0 = time.perf_counter()
         _, rng = tr.run_epoch(batcher, rng)

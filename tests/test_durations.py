@@ -54,6 +54,6 @@ def test_extract_and_train_with_gt_durs(tmp_path):
         tr.stage = stage
         tr._stage_objects()
         assert tr._step_fn is not None
-        tr.state = tr.state.replace(opt_state=tr.tx.init(tr.state.params))
+        tr.reset_opt_state()
         losses, _ = tr.run_epoch(batcher, jax.random.PRNGKey(stage))
         assert all(np.isfinite(l) for l in losses)

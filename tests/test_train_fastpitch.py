@@ -62,9 +62,7 @@ def test_fastpitch_end_to_end(dataset):
     for stage in (1, 2, 3, 4):
         trainer.stage = stage
         trainer._stage_objects()
-        trainer.state = trainer.state.replace(
-            opt_state=trainer.tx.init(trainer.state.params)
-        )
+        trainer.reset_opt_state()
         import jax
 
         losses, _ = trainer.run_epoch(batcher, jax.random.PRNGKey(stage))
@@ -99,6 +97,32 @@ def test_fastpitch_end_to_end(dataset):
 
     walk(d)
     assert any(getattr(l, "dtype", None) == torch.float16 for l in leaves)
+
+
+def test_reset_opt_state_no_retrace(dataset):
+    """Optimizer re-init (stage advance) must not invalidate the compiled
+    steps. A bare ``tx.init`` returns *uncommitted* default-device arrays;
+    jit keys on placement, so every already-compiled bucket shape would
+    recompile on the first epoch after the reset (~50-70s per shape over a
+    remote-compile tunnel — measured as the entire 208s/epoch stage-2
+    "steady state" of the round-3 north star). ``reset_opt_state`` commits
+    the fresh state over the mesh; the jit cache must not grow."""
+    import jax
+
+    cache, out = dataset
+    batcher = BucketBatcher(cache, batch_size=4, buckets=[Bucket(32, 128)])
+    cfg = FastPitchTrainConfig(output_dir=out + "_retrace", batch_size=4,
+                               target_bs=4, warmup_steps=2)
+    tr = FastPitchTrainer(cache, cfg, TINY_MODEL,
+                          mesh=make_mesh(n_data=2, n_model=1))
+    tr.setup(batcher, resume=False)
+    rng = jax.random.PRNGKey(0)
+    _, rng = tr.run_epoch(batcher, rng)  # compiles every bucket shape
+    n_compiled = tr._step_fn._cache_size()
+    assert n_compiled >= 1
+    tr.reset_opt_state()
+    _, rng = tr.run_epoch(batcher, rng)
+    assert tr._step_fn._cache_size() == n_compiled
 
 
 def test_resume_roundtrip(dataset):
@@ -136,6 +160,9 @@ def test_stage_transitions_never_skip_stage_4():
 
         def _stage_objects(self):
             self.early = EarlyStopState(target_delta=1e9, min_epochs=0)
+
+        def reset_opt_state(self):
+            pass
 
     class _State:
         params = None

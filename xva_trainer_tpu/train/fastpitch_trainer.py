@@ -430,10 +430,23 @@ class FastPitchTrainer:
                 # epoch 0 (returning True here would skip it entirely)
                 self.stage += 1
                 self._stage_objects()
-                self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+                self.reset_opt_state()
                 return False
             return True  # stage 4 done → hand off to HiFi-GAN
         return False
+
+    def reset_opt_state(self):
+        """Re-init the optimizer state for the current stage AND re-commit it
+        over the mesh. The commit is load-bearing: a bare ``tx.init(...)``
+        yields uncommitted default-device arrays, which give every
+        already-compiled (stage, bucket-shape) step a *different* jit cache
+        key than the committed arrays the step outputs — so the first epoch
+        after a stage advance silently recompiled every bucket shape
+        (~50-70s each over a remote-compile tunnel; measured as the entire
+        208s/epoch "steady state" of the north-star's stage 2)."""
+        self.state = self.state.replace(
+            opt_state=commit_replicated(self.tx.init(self.state.params),
+                                        self.mesh))
 
     def save_checkpoint(self):
         host = {
