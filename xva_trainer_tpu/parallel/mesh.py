@@ -60,6 +60,24 @@ def commit_replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def cpu_init_device():
+    """Context that pins un-committed computation to the host CPU backend.
+
+    Used around ``model.init`` / ``tx.init``: init only *creates* parameter
+    pytrees (shapes depend on feature dims, not batch or data), so compiling
+    the init graph for the accelerator is pure waste — measured 207s for the
+    full-size FastPitch init over the remote-compile tunnel vs seconds on
+    XLA:CPU. JAX's threefry PRNG is bit-deterministic across platforms, so
+    the initialized values are identical. Callers commit the result onto the
+    mesh afterwards (``commit_replicated``)."""
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place each (B, ...) array with batch dim sharded over "data"."""
     out = {}

@@ -210,15 +210,22 @@ class FastPitchTrainer:
             prior = np.zeros(
                 (batch["mel"].shape[0], batch["mel"].shape[1],
                  batch["tokens"].shape[1]), np.float32)
-        params = self.model.init(
-            rng,
-            jnp.asarray(batch["tokens"]), jnp.asarray(batch["in_lens"]),
-            jnp.asarray(batch["mel"], jnp.float32),
-            jnp.asarray(batch["mel_lens"]),
-            jnp.asarray(batch["pitch"], jnp.float32),
-            jnp.asarray(batch["energy"], jnp.float32),
-            jnp.asarray(prior),
-        )
+        # B=1 slice on the host CPU: param shapes depend only on feature
+        # dims, so there is no reason to compile the init graph for the
+        # accelerator (parallel/mesh.cpu_init_device) or at full batch
+        from ..parallel.mesh import cpu_init_device
+
+        with cpu_init_device():
+            params = self.model.init(
+                rng,
+                jnp.asarray(batch["tokens"][:1]),
+                jnp.asarray(batch["in_lens"][:1]),
+                jnp.asarray(batch["mel"][:1], jnp.float32),
+                jnp.asarray(batch["mel_lens"][:1]),
+                jnp.asarray(batch["pitch"][:1], jnp.float32),
+                jnp.asarray(batch["energy"][:1], jnp.float32),
+                jnp.asarray(prior[:1]),
+            )
         return params
 
     def _stage_objects(self):

@@ -301,18 +301,24 @@ class HifiganTrainer:
         reference's torch g_/do_ checkpoints ("never from scratch",
         reference hifigan/xva_train.py:276-296)."""
         rng = jax.random.PRNGKey(self.cfg.seed)
-        seg = jnp.zeros((self.cfg.batch_size, SEGMENT_SIZE, 1), jnp.float32)
-        mel = jnp.zeros((self.cfg.batch_size, SEGMENT_SIZE // 256, 80), jnp.float32)
-        g_params = self.gen.init(rng, mel)
-        d_vars = self.disc.init(rng, seg, seg)
-        state = GanState(
-            g_params=g_params,
-            d_params={"params": d_vars["params"]},
-            d_stats=d_vars.get("batch_stats", {}),
-            g_opt=self.g_tx.init(g_params),
-            d_opt=self.d_tx.init({"params": d_vars["params"]}),
-            step=jnp.zeros((), jnp.int32),
-        )
+        # B=1 on the host CPU: param shapes depend only on feature dims —
+        # no accelerator compile of the init graph (parallel/mesh.
+        # cpu_init_device); commit_replicated below moves onto the mesh
+        from ..parallel.mesh import cpu_init_device
+
+        with cpu_init_device():
+            seg = jnp.zeros((1, SEGMENT_SIZE, 1), jnp.float32)
+            mel = jnp.zeros((1, SEGMENT_SIZE // 256, 80), jnp.float32)
+            g_params = self.gen.init(rng, mel)
+            d_vars = self.disc.init(rng, seg, seg)
+            state = GanState(
+                g_params=g_params,
+                d_params={"params": d_vars["params"]},
+                d_stats=d_vars.get("batch_stats", {}),
+                g_opt=self.g_tx.init(g_params),
+                d_opt=self.d_tx.init({"params": d_vars["params"]}),
+                step=jnp.zeros((), jnp.int32),
+            )
         resumed = False
         if resume:
             step, state2, host = self.ckpt.restore_latest(state)

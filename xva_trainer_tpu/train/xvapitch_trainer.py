@@ -471,27 +471,39 @@ class XVAPitchTrainer:
             "segments": jax.random.PRNGKey(self.cfg.seed + 2),
             "dropout": jax.random.PRNGKey(self.cfg.seed + 3),
         }
-        to_j = lambda k: jnp.asarray(b[k])
-        # device_spec batches carry int16 audio and no "linear" — materialize
-        # both once (eagerly) for init, exactly as the jitted step will
-        linear, wav_f = _materialize_spec(
-            {k: to_j(k) for k in ("wav",) + (("linear",) if "linear" in b else ())},
-            hop=self.model.cfg.hop_length,
-        )
-        g_params = self.model.init(
-            rngs, to_j("tokens"), to_j("tlens"), linear, to_j("slens"),
-            to_j("pitch"), to_j("energy"), wav_f, to_j("dvec"), to_j("lang"),
-        )
-        seg = jnp.zeros(
-            (self.cfg.batch_size,
-             self.model.cfg.spec_segment_size * self.model.cfg.hop_length, 1)
-        )
-        d_params = self.disc.init(jax.random.PRNGKey(self.cfg.seed + 9), seg, seg)
-        state = V3State(
-            g_params=g_params, d_params=d_params,
-            g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        # B=1 slice on the host CPU: param shapes depend only on feature
+        # dims, so compiling the init graph for the accelerator (and at full
+        # batch) is pure waste — parallel/mesh.cpu_init_device. The optimizer
+        # inits follow operand placement onto CPU; commit_replicated below
+        # moves everything onto the mesh.
+        from ..parallel.mesh import cpu_init_device
+
+        to_j = lambda k: jnp.asarray(b[k][:1])
+        with cpu_init_device():
+            # device_spec batches carry int16 audio and no "linear" —
+            # materialize both once (eagerly) for init, exactly as the
+            # jitted step will
+            linear, wav_f = _materialize_spec(
+                {k: to_j(k)
+                 for k in ("wav",) + (("linear",) if "linear" in b else ())},
+                hop=self.model.cfg.hop_length,
+            )
+            g_params = self.model.init(
+                rngs, to_j("tokens"), to_j("tlens"), linear, to_j("slens"),
+                to_j("pitch"), to_j("energy"), wav_f, to_j("dvec"),
+                to_j("lang"),
+            )
+            seg = jnp.zeros(
+                (1, self.model.cfg.spec_segment_size * self.model.cfg.hop_length,
+                 1)
+            )
+            d_params = self.disc.init(
+                jax.random.PRNGKey(self.cfg.seed + 9), seg, seg)
+            state = V3State(
+                g_params=g_params, d_params=d_params,
+                g_opt=self.g_tx.init(g_params), d_opt=self.d_tx.init(d_params),
+                step=jnp.zeros((), jnp.int32),
+            )
         resumed = False
         if resume:
             step, state2, host = self.ckpt.restore_latest(state)
