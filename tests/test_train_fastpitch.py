@@ -1,6 +1,10 @@
 """End-to-end FastPitch training smoke: synthetic dataset → 4-stage trainer →
 checkpoints → xVASynth export → torch.load verification. Runs on a 2-device
 CPU mesh (DP sharding path exercised for real)."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import os
 
 import numpy as np
@@ -118,11 +122,78 @@ def test_reset_opt_state_no_retrace(dataset):
     tr.setup(batcher, resume=False)
     rng = jax.random.PRNGKey(0)
     _, rng = tr.run_epoch(batcher, rng)  # compiles every bucket shape
-    n_compiled = tr._step_fn._cache_size()
+    n_compiled = _jit_cache_size(tr._step_fn)
     assert n_compiled >= 1
     tr.reset_opt_state()
     _, rng = tr.run_epoch(batcher, rng)
-    assert tr._step_fn._cache_size() == n_compiled
+    assert _jit_cache_size(tr._step_fn) == n_compiled
+
+
+def _jit_cache_size(fn):
+    """Private-API guard (a JAX upgrade may drop _cache_size): skip rather
+    than error."""
+    if not hasattr(fn, "_cache_size"):
+        pytest.skip("jit _cache_size private API unavailable on this JAX")
+    return fn._cache_size()
+
+
+def test_zero_batch_matches_collate(dataset):
+    """zero_batch (the precompiler's dummy-batch builder) must stay shape/
+    dtype-identical to what BucketBatcher.collate emits — any drift means the
+    precompiled executables silently miss and every stage recompiles."""
+    from xva_trainer_tpu.data.dataset import zero_batch
+
+    cache, _ = dataset
+    b = Bucket(32, 128)
+    for use_durs in (False, True):
+        for half in (False, True):
+            batcher = BucketBatcher(cache, batch_size=4, buckets=[b],
+                                    half_feed=half)
+            batcher.use_durs = use_durs
+            real = batcher.collate(b, [])
+            dummy = zero_batch(b, 4, n_mels=cache.mel_cfg.n_mels,
+                               half_feed=half, with_prior=True,
+                               with_durs=use_durs)
+            assert set(real) == set(dummy), (use_durs, half)
+            for k in real:
+                if k == "ids":
+                    continue
+                assert real[k].shape == dummy[k].shape, k
+                assert real[k].dtype == dummy[k].dtype, k
+
+
+def test_precompile_stage_no_retrace(dataset):
+    """A background precompile_stage dispatch must make the stage's first
+    real epoch a pure jit cache hit (zero new compiles), and must not donate
+    or corrupt the live training state."""
+    import jax
+
+    cache, out = dataset
+    batcher = BucketBatcher(cache, batch_size=4, buckets=[Bucket(32, 128)])
+    cfg = FastPitchTrainConfig(output_dir=out + "_precompile", batch_size=4,
+                               target_bs=4, warmup_steps=2)
+    tr = FastPitchTrainer(cache, cfg, TINY_MODEL,
+                          mesh=make_mesh(n_data=2, n_model=1))
+    tr.setup(batcher, resume=False)
+
+    # precompile stage 3 (no gt durations in this cache) on a worker thread,
+    # exactly as train/pipeline.py runs it
+    from xva_trainer_tpu.train.precompile import Precompiler
+
+    pre = Precompiler(max_workers=2)
+    pre.submit("fp_stage3", tr.precompile_stage, 3, 4, [Bucket(32, 128)],
+               False)
+    assert pre.wait(timeout=600)
+    assert pre.errors == [], pre.errors
+
+    tr.stage = 3
+    tr._stage_objects()
+    n = _jit_cache_size(tr._step_fn)
+    assert n >= 1  # the precompile populated this exact callable's cache
+    tr.reset_opt_state()
+    losses, _ = tr.run_epoch(batcher, jax.random.PRNGKey(3))
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+    assert _jit_cache_size(tr._step_fn) == n  # no recompile in the real epoch
 
 
 def test_resume_roundtrip(dataset):

@@ -375,6 +375,35 @@ DEFAULT_BUCKETS = (
 )
 
 
+def zero_batch(b: Bucket, batch_size: int, n_mels: int = 80,
+               half_feed: bool = True, with_prior: bool = False,
+               with_durs: bool = False) -> Dict[str, np.ndarray]:
+    """An all-zeros batch with exactly the shapes/dtypes that
+    ``BucketBatcher.collate`` emits for bucket ``b`` (lens clamped to 1, the
+    same way collate's ``np.maximum(lens, 1)`` does).
+
+    Used by the stage precompiler (train/precompile.py) to dispatch the real
+    jitted train steps ahead of data, so the first training epoch of every
+    stage is a pure jit cache hit. A parity test asserts this stays
+    shape/dtype-identical to ``collate(b, [])``."""
+    feat_dt = np.float16 if half_feed else np.float32
+    batch = {
+        "tokens": np.zeros((batch_size, b.text_len), np.int32),
+        "mel": np.zeros((batch_size, b.mel_len, n_mels), feat_dt),
+        "pitch": np.zeros((batch_size, 1, b.mel_len), feat_dt),
+        "energy": np.zeros((batch_size, b.mel_len), feat_dt),
+        "in_lens": np.ones((batch_size,), np.int32),
+        "mel_lens": np.ones((batch_size,), np.int32),
+        "ids": [],
+    }
+    if with_prior:
+        batch["prior"] = np.zeros((batch_size, b.mel_len, b.text_len),
+                                  np.float32)
+    if with_durs:
+        batch["durs"] = np.zeros((batch_size, b.text_len), np.float32)
+    return batch
+
+
 class BucketBatcher:
     """Static-shape batches: each batch padded to one of a few bucket shapes.
 

@@ -69,6 +69,51 @@ class FastPitchTrainConfig:
         return max(1, int(np.ceil(self.target_bs / self.batch_size)))
 
 
+def batch_keys_for(stage: int, use_gt: bool, device_prior: bool):
+    """Which collated-batch keys a stage's step actually reads (H2D filter).
+
+    Stage 2 runs at a 12x batch multiplier (pipeline.STAGE_BS_MULT) but its
+    gt-durs step reads only tokens/in_lens/durs — shipping the unused
+    (B, mel_len, 80) mel and (B, mel_len, text_len) prior wastes most of the
+    transfer. With device_prior the prior never ships in any stage.
+    Returns None for "full batch".
+    """
+    if stage == 1:
+        keys = {"tokens", "in_lens", "mel", "mel_lens", "prior"}
+    elif stage == 2 and use_gt:
+        keys = {"tokens", "in_lens", "durs"}
+    else:
+        keys = None
+    if device_prior:
+        if keys is None:
+            keys = {"tokens", "in_lens", "mel", "mel_lens", "pitch",
+                    "energy", "durs"}
+        keys = keys - {"prior"}
+    return keys
+
+
+def make_align_step(model: FastPitch, device_prior: bool):
+    """Jitted aligner forward used by extract_durations (one per trainer so
+    precompile and the real extraction share a single jit cache)."""
+
+    @functools.partial(jax.jit)
+    def align(params, tokens, in_lens, mel, mel_lens, prior):
+        mel = mel.astype(jnp.float32)  # f16 host feed → f32 on device
+        if prior is None:  # device_prior: materialize from lengths
+            from ..ops.attn_prior import beta_binomial_attn_prior
+
+            prior = beta_binomial_attn_prior(
+                in_lens, mel_lens, t_x=tokens.shape[1], t_y=mel.shape[1]
+            )
+        out = model.apply(
+            params, tokens, in_lens, mel, mel_lens, prior,
+            method=FastPitch.stage1,
+        )
+        return out["durations"]
+
+    return align
+
+
 def make_stage_step(model: FastPitch, stage: int, tx: optax.GradientTransformation,
                     use_gt_durs: bool = False, use_amp: bool = True,
                     device_prior: bool = False):
@@ -188,6 +233,17 @@ class FastPitchTrainer:
         self.ckpt = CheckpointManager(cfg.output_dir, prefix="FastPitch")
         self.meter = ThroughputMeter()
         self.stage = cfg.force_stage or 1
+        # (stage, use_gt_durs) → (tx, jitted step): the SAME callable objects
+        # serve precompile_stage and the training loop, so a background
+        # precompile dispatch is a direct in-process jit cache hit later
+        self._stage_memo: Dict = {}
+        import threading
+
+        # precompile worker threads and the training loop both resolve stage
+        # objects; without the lock they could build two distinct jitted
+        # callables for one key and the loop's first dispatch would recompile
+        self._memo_lock = threading.Lock()
+        self._align_fn = None
         self.epoch = 0
         self.total_iter = 0
         self.stop_requested = False
@@ -228,62 +284,127 @@ class FastPitchTrainer:
             )
         return params
 
+    def _get_stage_objects(self, stage: int, use_gt: bool):
+        """Memoized (tx, step) for a stage — shared between the training loop
+        and precompile_stage so both dispatch the same jitted callable."""
+        key = (stage, use_gt)
+        with self._memo_lock:
+            if key not in self._stage_memo:
+                tx = make_fastpitch_optimizer(
+                    self.cfg.base_lr,
+                    self.cfg.weight_decay,
+                    self.cfg.warmup_steps,
+                    grad_accum=self.cfg.grad_accum,
+                    freeze_mask=fastpitch_stage_mask(stage),
+                )
+                step = make_stage_step(self.model, stage, tx,
+                                       use_gt_durs=use_gt,
+                                       use_amp=self.cfg.use_amp,
+                                       device_prior=self.cfg.device_prior)
+                self._stage_memo[key] = (tx, step)
+            return self._stage_memo[key]
+
     def _stage_objects(self):
-        self.tx = make_fastpitch_optimizer(
-            self.cfg.base_lr,
-            self.cfg.weight_decay,
-            self.cfg.warmup_steps,
-            grad_accum=self.cfg.grad_accum,
-            freeze_mask=fastpitch_stage_mask(self.stage),
-        )
         self.early = EarlyStopState(
             target_delta=self.target_deltas[self.stage],
             min_epochs=fastpitch_min_epochs(self.stage),
         )
         use_gt = self.stage >= 2 and self.cache.has_durations()
-        self._step_fn = make_stage_step(self.model, self.stage, self.tx,
-                                        use_gt_durs=use_gt,
-                                        use_amp=self.cfg.use_amp,
-                                        device_prior=self.cfg.device_prior)
-        # per-stage H2D filter: stage 2 runs at a 12x batch multiplier
-        # (pipeline.STAGE_BS_MULT) but its gt-durs step reads only
-        # tokens/in_lens/durs — shipping the unused (B, mel_len, 80) mel and
-        # (B, mel_len, text_len) prior wastes most of the transfer. With
-        # device_prior the prior never ships in any stage.
-        if self.stage == 1:
-            self._batch_keys = {"tokens", "in_lens", "mel", "mel_lens",
-                                "prior"}
-        elif self.stage == 2 and use_gt:
-            self._batch_keys = {"tokens", "in_lens", "durs"}
-        else:
-            self._batch_keys = None  # full batch
-        if self.cfg.device_prior:
-            if self._batch_keys is None:
-                self._batch_keys = {"tokens", "in_lens", "mel", "mel_lens",
-                                    "pitch", "energy", "durs"}
-            self._batch_keys = self._batch_keys - {"prior"}
+        self.tx, self._step_fn = self._get_stage_objects(self.stage, use_gt)
+        self._batch_keys = batch_keys_for(self.stage, use_gt,
+                                          self.cfg.device_prior)
+
+    def _get_align_fn(self):
+        with self._memo_lock:
+            if self._align_fn is None:
+                self._align_fn = make_align_step(self.model,
+                                                 self.cfg.device_prior)
+            return self._align_fn
+
+    # ---- compile warming (train/precompile.py) ----
+
+    def precompile_stage(self, stage: int, batch_size: int, buckets,
+                         use_gt: Optional[bool] = None) -> int:
+        """Compile-warm one stage: dispatch its REAL jitted step (the same
+        memoized callable `_stage_objects` hands the training loop) once per
+        occupied bucket shape, with a throwaway zeros state, so the stage's
+        first training epoch is a pure in-process jit cache hit.
+
+        Meant to run on a train/precompile.py worker thread, overlapping the
+        compiles with the feature-cache build and earlier stages' training
+        (the north-star's 1,871s one-time wall was ~80% these compiles, paid
+        serially at first dispatch — VERDICT r3). Returns the number of
+        shapes dispatched.
+
+        The throwaway state has identical avals + shardings to the real one
+        but fresh buffers: the step donates its state argument, so the real
+        ``self.state`` must never be passed from here. Buckets are chained
+        through the one donated state, so a full-stage warm holds ~one extra
+        TrainState of HBM while it runs, independent of bucket count."""
+        from ..data.dataset import zero_batch
+        from ..parallel.mesh import cpu_init_device
+
+        if use_gt is None:
+            # durations are extracted at the stage 1→2 hand-off, before any
+            # stage ≥2 step runs — warm the path that will actually execute
+            use_gt = stage >= 2
+        tx, step = self._get_stage_objects(stage, use_gt)
+        keys = batch_keys_for(stage, use_gt, self.cfg.device_prior)
+        with cpu_init_device():
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, x.dtype), self.state.params)
+            state = TrainState(params=params, opt_state=tx.init(params),
+                               step=jnp.zeros((), jnp.int32))
+        state = commit_replicated(state, self.mesh)
+        # rng/kl built exactly as run_epoch builds them (same avals, same
+        # uncommitted default-device placement → same jit cache key)
+        _, sub = jax.random.split(jax.random.PRNGKey(0))
+        kl = jnp.asarray(0.0)
+        n_mels = self.cache.mel_cfg.n_mels
+        n = 0
+        with self.mesh:
+            for b in buckets:
+                batch = zero_batch(
+                    b, batch_size, n_mels=n_mels,
+                    with_prior=not self.cfg.device_prior, with_durs=use_gt,
+                )
+                sel = (batch if keys is None
+                       else {k: v for k, v in batch.items() if k in keys})
+                state, _ = step(state, shard_batch(self.mesh, sel), kl, sub)
+                n += 1
+        jax.block_until_ready(state.step)
+        return n
+
+    def precompile_align(self, batch_size: int, buckets) -> int:
+        """Compile-warm the duration-extraction forward (stage 1→2 hand-off)
+        for every bucket shape at the stage-1 batch size."""
+        from ..data.dataset import zero_batch
+
+        align = self._get_align_fn()
+        n_mels = self.cache.mel_cfg.n_mels
+        n = 0
+        last = None
+        with self.mesh:
+            for b in buckets:
+                batch = zero_batch(b, batch_size, n_mels=n_mels,
+                                   with_prior=not self.cfg.device_prior)
+                dev = shard_batch(self.mesh, batch)
+                prior = None if self.cfg.device_prior else dev.get("prior")
+                # align does not donate: the live self.state.params are safe
+                # to pass (and give the exact cache entry extraction hits)
+                last = align(self.state.params, dev["tokens"],
+                             dev["in_lens"], dev["mel"], dev["mel_lens"],
+                             prior)
+                n += 1
+        if last is not None:
+            jax.block_until_ready(last)
+        return n
 
     def extract_durations(self, batcher: BucketBatcher) -> int:
         """After stage 1: run the aligner once over the dataset, caching
         per-item durations (reference extract_durations :1120-1168), so
         stages ≥2 skip the aligner+MAS in every step."""
-        import functools as _ft
-
-        @_ft.partial(jax.jit)
-        def align(params, tokens, in_lens, mel, mel_lens, prior):
-            mel = mel.astype(jnp.float32)  # f16 host feed → f32 on device
-            if prior is None:  # device_prior: materialize from lengths
-                from ..ops.attn_prior import beta_binomial_attn_prior
-
-                prior = beta_binomial_attn_prior(
-                    in_lens, mel_lens, t_x=tokens.shape[1], t_y=mel.shape[1]
-                )
-            out = self.model.apply(
-                params, tokens, in_lens, mel, mel_lens, prior,
-                method=FastPitch.stage1,
-            )
-            return out["durations"]
-
+        align = self._get_align_fn()
         count = 0
         with self.mesh:
             for batch in batcher.epoch(shuffle=False):
@@ -325,11 +446,17 @@ class FastPitchTrainer:
                 f"[warm start] {os.path.basename(pretrained_ckpt)} "
                 f"(stage {self.stage})"
             )
-        state = TrainState(
-            params=params,
-            opt_state=self.tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
+        # tx.init on the host CPU too (matches hifigan/xvapitch setup): the
+        # params here are uncommitted, so a bare init could compile on the
+        # accelerator before commit_replicated below
+        from ..parallel.mesh import cpu_init_device
+
+        with cpu_init_device():
+            state = TrainState(
+                params=params,
+                opt_state=self.tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
         if resume:
             step, state2, host = self.ckpt.restore_latest(state)
             if step is not None:

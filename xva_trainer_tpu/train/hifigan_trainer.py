@@ -358,6 +358,27 @@ class HifiganTrainer:
         self.state = commit_replicated(state, self.mesh)
         return self.state
 
+    def precompile(self) -> None:
+        """Compile-warm the fused G+D step (one shape: the 8192-sample
+        segment batch) by dispatching it once with a throwaway zeros state.
+
+        Run on a train/precompile.py worker thread during the FastPitch
+        stages so the vocoder hand-off pays no first-dispatch compile
+        (the north-star's hifi warmup was 290s of exactly this). The step
+        donates its state argument, so a fresh zeros clone — never
+        ``self.state`` — is what gets donated."""
+        from ..parallel.mesh import cpu_init_device
+
+        with cpu_init_device():
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(jnp.shape(x), x.dtype), self.state)
+        state = commit_replicated(state, self.mesh)
+        seg = np.zeros((self.cfg.batch_size, SEGMENT_SIZE, 1), np.float32)
+        dev = shard_batch(self.mesh, {"wav": seg})["wav"]
+        with self.mesh:
+            state, _ = self._step_fn(state, dev)
+        jax.block_until_ready(state.step)
+
     def load_generator_params(self, g_params):
         """Warm-start from a pretrained generator (the [male]/[female] g_ ckpt
         role, reference :276-277)."""

@@ -38,6 +38,10 @@ class PipelineConfig:
     # per-queue-item config parity (reference javascript/train.js:711-747)
     force_stage: int = 0          # 0 = auto; 1-4 FastPitch, 5 = HiFi-GAN only
     epochs_per_checkpoint: int = 1  # the reference's bkp_every_x
+    # background compile warming (train/precompile.py): overlap every later
+    # stage's + HiFi-GAN's XLA compiles with stage-1 training instead of
+    # paying them serially at each stage's first dispatch
+    precompile: bool = True
 
 
 STAGE_BS_MULT = {1: 1.5, 2: 12.0, 3: 3.5, 4: 4.0}
@@ -141,6 +145,21 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
         b.use_durs = cache.has_durations()
         return b
 
+    hifi_cfg = HifiganTrainConfig(
+        output_dir=os.path.join(cfg.output_path, "hifi"),
+        batch_size=min(16, cfg.batch_size),
+        use_amp=cfg.use_amp,
+    )
+    pre = None
+    hifi_holder: Dict = {}
+
+    def _build_hifi():
+        h = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh,
+                           logger=logger)
+        h.setup()
+        h.precompile()
+        hifi_holder["trainer"] = h
+
     if cfg.force_stage == 5:
         # per-queue-item "stage 5": straight to the vocoder (reference
         # force_stage semantics, javascript/train.js:711-747)
@@ -149,20 +168,47 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
     else:
         batcher = batcher_for(fp.stage)
         fp.setup(batcher)
+        if cfg.precompile and os.environ.get("XVA_PRECOMPILE", "1") != "0":
+            # warm every compile the schedule will ever need, in parallel,
+            # while stage 1 (and the user's wall-clock) is already training
+            from .precompile import Precompiler
+
+            pre = Precompiler()
+            occupied = [b for b, items in batcher.assignment.items() if items]
+            start_stage = fp.stage
+            for stage in range(start_stage, 5):
+                bs = stage_batch_size(cfg.batch_size, stage, max_len_sec,
+                                      n_dev, divisor=n_data)
+                use_gt = None
+                if stage == start_stage and stage >= 2:
+                    use_gt = cache.has_durations()
+                pre.submit(f"fp_stage{stage}", fp.precompile_stage, stage,
+                           bs, occupied, use_gt)
+            if start_stage == 1:
+                bs1 = stage_batch_size(cfg.batch_size, 1, max_len_sec, n_dev,
+                                       divisor=n_data)
+                pre.submit("fp_align", fp.precompile_align, bs1, occupied)
+            pre.submit("hifigan", _build_hifi)
         fp_result = fp.train(batcher, max_epochs=cfg.max_fp_epochs,
                              max_iters=max_iters, batcher_factory=batcher_for)
         fp_path = fp.export(cfg.voice_name)
         logger.log(f"[pipeline] FastPitch done: {fp_result} → {fp_path}")
 
-    hifi_cfg = HifiganTrainConfig(
-        output_dir=os.path.join(cfg.output_path, "hifi"),
-        batch_size=min(16, cfg.batch_size),
-        use_amp=cfg.use_amp,
-    )
-    hifi = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh, logger=logger)
+    if pre is not None:
+        pre.wait()
+        if pre.errors:
+            logger.log(f"[precompile] background errors (falling back to "
+                       f"first-dispatch compiles): {pre.errors}")
+        if pre.timings:
+            logger.log(f"[precompile] wall per task: {pre.timings}")
+        pre.close()
+    hifi = hifi_holder.get("trainer")
+    if hifi is None:
+        hifi = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh,
+                              logger=logger)
+        hifi.setup()
     if on_trainer:
         on_trainer(hifi)
-    hifi.setup()
     hifi_result = hifi.train(max_epochs=cfg.max_hifi_epochs, max_iters=max_iters)
     hg_path = hifi.export(cfg.voice_name, cfg.output_path)
     logger.log(f"[pipeline] HiFi-GAN done: {hifi_result} → {hg_path}")
