@@ -145,12 +145,39 @@ def main():
     stage_epoch_s = {}
     stage_compile_s = {}
     durs_s = 0.0
+    pre = None
+    hifi_holder = {}
+    hcfg = HifiganTrainConfig(output_dir=os.path.join(out_dir, "hifi"),
+                              batch_size=16,
+                              data_mult=1 if args.tiny else None)
+
+    def _build_hifi():
+        h = HifiganTrainer(ds, hcfg, hifi_gen_cfg)
+        h.setup(resume=False)
+        h.precompile()
+        hifi_holder["trainer"] = h
+
     for stage in (1, 2, 3, 4):
         tr.stage = stage
         tr._stage_objects()
         batcher = batcher_for(stage)
         if stage == 1:
             tr.setup(batcher, resume=False)
+            if os.environ.get("XVA_PRECOMPILE", "1") != "0":
+                # production-pipeline behavior (train/pipeline.py): warm all
+                # later compiles in background threads while stage 1 trains
+                from xva_trainer_tpu.train.precompile import Precompiler
+
+                pre = Precompiler()
+                occupied = [b for b, it in batcher.assignment.items() if it]
+                for s in (1, 2, 3, 4):
+                    bs = stage_batch_size(args.batch_size, s, max_len, n_dev)
+                    pre.submit(f"fp_stage{s}", tr.precompile_stage, s, bs,
+                               occupied)
+                pre.submit("fp_align", tr.precompile_align,
+                           stage_batch_size(args.batch_size, 1, max_len,
+                                            n_dev), occupied)
+                pre.submit("hifigan", _build_hifi)
         else:
             tr.reset_opt_state()  # re-committed: bare tx.init triggers a
             # full recompile of every bucket shape on the NEXT epoch (the
@@ -178,11 +205,16 @@ def main():
 
     # ---- HiFi-GAN (stage 5) ----
     t0 = time.perf_counter()
-    hcfg = HifiganTrainConfig(output_dir=os.path.join(out_dir, "hifi"),
-                              batch_size=16,
-                              data_mult=1 if args.tiny else None)
-    hifi = HifiganTrainer(ds, hcfg, hifi_gen_cfg)
-    hifi.setup(resume=False)
+    if pre is not None:
+        pre.wait()
+        report["precompile_task_s"] = pre.timings
+        if pre.errors:
+            report["precompile_errors"] = [f"{n}: {e}" for n, e in pre.errors]
+        pre.close()
+    hifi = hifi_holder.get("trainer")
+    if hifi is None:
+        hifi = HifiganTrainer(ds, hcfg, hifi_gen_cfg)
+        hifi.setup(resume=False)
     report["hifi_setup_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     hifi.run_epoch()
@@ -211,16 +243,41 @@ def main():
     report["one_time_s"] = round(one_time, 1)
     report["min_schedule_wall_s"] = round(total(min_epochs), 1)
     report["typical_schedule_wall_s"] = round(total(typical), 1)
-    # v5e-8: training epochs scale 1/8 (DP); host preprocessing does not
-    scale = 1 / 8
-    def total8(epochs):
-        train = sum(stage_epoch_s[s] * max(0, epochs[s] - 1)
-                    for s in (1, 2, 3, 4)) * scale
-        train += hifi_epoch_s * (HIFI_MIN - 1) * scale
-        return one_time + train
-    report["min_schedule_v5e8_s"] = round(total8(min_epochs), 1)
-    report["typical_schedule_v5e8_s"] = round(total8(typical), 1)
     report["northstar_target_s"] = 3600
+
+    # ---- v5e-8 estimate, measured composition (VERDICT r3 weak #1) ----
+    # Replaces the old bare 1/8 scale. Per stage, the v5e-8 epoch estimate is
+    #   max( steps/epoch × (t_step(B/8) + t_allreduce), host_collate_epoch )
+    # where:
+    # - t_step(B/8) is MEASURED on this chip: the stage's real jitted step
+    #   dispatched at per-chip batch B/8 (global batch and steps/epoch
+    #   unchanged under 8-way DP), best-of-3 chained dispatches per occupied
+    #   bucket, weighted by that bucket's batches/epoch;
+    # - t_allreduce is the ring all-reduce of the fp32 grad tree over ICI
+    #   (2·bytes·(N-1)/N ÷ 9e10 B/s per chip) — an analytic term, labeled so;
+    # - host_collate_epoch is MEASURED: one v5e-8 host still collates the
+    #   full global batch every step, so the host feed is a floor that does
+    #   not scale with chips.
+    # One-time work (cache build, compiles, extraction) does not scale.
+    if not args.tiny and os.environ.get("XVA_NORTHSTAR_V5E8", "1") != "0":
+        from northstar_v5e8 import probe_v5e8
+
+        v5e8 = probe_v5e8(tr, hifi, batcher_for, args.batch_size, max_len,
+                          n_dev)
+        report["v5e8_probe"] = v5e8
+
+        def total8(epochs):
+            train = sum(v5e8["stage_epoch_est_s"][str(s)]
+                        * max(0, epochs[s] - 1) for s in (1, 2, 3, 4))
+            train += v5e8["hifi_epoch_est_s"] * (HIFI_MIN - 1)
+            return one_time + train
+
+        report["min_schedule_v5e8_est_s"] = round(total8(min_epochs), 1)
+        report["typical_schedule_v5e8_est_s"] = round(total8(typical), 1)
+        report["v5e8_method"] = (
+            "estimated: measured per-chip step @ B/8 + analytic ICI ring "
+            "all-reduce (fp32 grads, 9e10 B/s) + measured host-collate floor;"
+            " one-time does not scale")
     # The target verdict is only meaningful for the real benchmark: full-size
     # models, the full 2h dataset, and an accelerator backend. A tiny/CPU/
     # short-dataset smoke writes null — it validates the script, not the
@@ -229,8 +286,9 @@ def main():
                 and report_platform != "cpu")
     report["meets_target_1chip_typical"] = (
         report["typical_schedule_wall_s"] < 3600) if full_run else None
-    report["meets_target_v5e8_typical"] = (
-        report["typical_schedule_v5e8_s"] < 3600) if full_run else None
+    if "typical_schedule_v5e8_est_s" in report:
+        report["meets_target_v5e8_typical_est"] = (
+            report["typical_schedule_v5e8_est_s"] < 3600) if full_run else None
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "northstar.json"), "w") as f:
