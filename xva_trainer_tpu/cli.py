@@ -77,6 +77,22 @@ def cmd_tool(args):
     print("done")
 
 
+def cmd_import_whisper(args):
+    """Out-of-box ASR story (the reference ships whisper {size}.pt binaries
+    with its installer — python/transcribe/model.py:144-171; this repo can't
+    redistribute them, so this converter + a one-line download recipe is the
+    equivalent): convert any OpenAI whisper .pt or HuggingFace whisper dir
+    into the local layout the transcribe tool consumes."""
+    from .interop.whisper_map import import_whisper_checkpoint
+
+    path = import_whisper_checkpoint(args.src, args.out)
+    print(f"wrote {path}")
+    print("use it with either:")
+    print(f"  export XVA_WHISPER_CKPT={path}")
+    print(f"  cli tool transcribe --in D --out O "
+          f"--settings '{{\"modelPath\": \"{path}\"}}'")
+
+
 def cmd_serve(args):
     from .app.server import AppServer
 
@@ -126,6 +142,14 @@ def main(argv=None):
     tl.add_argument("--out", required=True)
     tl.add_argument("--settings", default=None)
     tl.set_defaults(fn=cmd_tool)
+
+    iw = sub.add_parser("import-whisper", help="convert an OpenAI whisper "
+                        ".pt or HuggingFace whisper dir for the transcribe "
+                        "tool")
+    iw.add_argument("src", help="whisper {size}.pt or HF checkpoint dir")
+    iw.add_argument("--out", required=True, help="output dir; writes "
+                    "whisper.pt + tokenizer assets")
+    iw.set_defaults(fn=cmd_import_whisper)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--http-port", type=int, default=8002)

@@ -157,3 +157,95 @@ def load_whisper(path: str):
     params = apply_import(sd, whisper_rules(cfg.n_audio_layer, cfg.n_text_layer),
                           strict=True)
     return params, cfg
+
+
+def import_whisper_checkpoint(src: str, out_dir: str) -> str:
+    """``cli import-whisper`` backend: any whisper weights a user can obtain
+    → the one local layout the transcribe tool consumes out of the box.
+
+    Accepts
+    - an OpenAI-whisper ``{size}.pt`` (the reference distribution's
+      transcribe model file — reference python/transcribe/model.py:144-171);
+    - a HuggingFace whisper checkpoint dir (``config.json`` +
+      ``pytorch_model.bin`` / ``model.safetensors``, optional tokenizer
+      assets) — keys are translated to the OpenAI naming and the ``dims``
+      header is derived from config.json.
+
+    Writes ``<out_dir>/whisper.pt`` plus any tokenizer asset found next to
+    the source (``*.tiktoken`` / ``vocab.json``), validates the result by
+    importing it into the flax model (strict rule application), and returns
+    the written path.
+    """
+    import os
+    import shutil
+
+    from ..train.torch_save import torch_save_compatible
+
+    src = os.path.abspath(src)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "whisper.pt")
+
+    if os.path.isfile(src):
+        ckpt = load_torch_pt(src)
+        dims = dict(ckpt.get("dims", {}))
+        sd = ckpt.get("model_state_dict", ckpt.get("state_dict", ckpt))
+        sd = {k: np.asarray(v) for k, v in sd.items()}
+        if any(k.startswith("model.") or ".layers." in k for k in sd):
+            sd = hf_to_openai_keys(sd)
+        asset_dirs = [os.path.dirname(src),
+                      os.path.join(os.path.dirname(src), "assets")]
+    elif os.path.isdir(src):
+        import json
+
+        cfg_path = os.path.join(src, "config.json")
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(f"{src}: no config.json (not a HF dir)")
+        with open(cfg_path, encoding="utf8") as f:
+            hf_cfg = json.load(f)
+        if hf_cfg.get("model_type", "whisper") != "whisper":
+            raise ValueError(f"{src}: model_type={hf_cfg.get('model_type')} "
+                             "is not whisper")
+        sd = None
+        st_path = os.path.join(src, "model.safetensors")
+        pt_path = os.path.join(src, "pytorch_model.bin")
+        if os.path.exists(st_path):
+            from safetensors.numpy import load_file
+
+            sd = load_file(st_path)
+        elif os.path.exists(pt_path):
+            sd = {k: np.asarray(v) for k, v in load_torch_pt(pt_path).items()}
+        else:
+            raise FileNotFoundError(
+                f"{src}: no model.safetensors / pytorch_model.bin")
+        sd = {k: v for k, v in sd.items() if not k.startswith("proj_out.")}
+        sd = hf_to_openai_keys(sd)
+        dims = dict(
+            n_vocab=int(hf_cfg["vocab_size"]),
+            n_audio_ctx=int(hf_cfg["max_source_positions"]),
+            n_audio_state=int(hf_cfg["d_model"]),
+            n_audio_head=int(hf_cfg["encoder_attention_heads"]),
+            n_audio_layer=int(hf_cfg["encoder_layers"]),
+            n_text_ctx=int(hf_cfg["max_target_positions"]),
+            n_text_state=int(hf_cfg["d_model"]),
+            n_text_head=int(hf_cfg["decoder_attention_heads"]),
+            n_text_layer=int(hf_cfg["decoder_layers"]),
+            n_mels=int(hf_cfg.get("num_mel_bins", 80)),
+        )
+        asset_dirs = [src]
+    else:
+        raise FileNotFoundError(src)
+
+    torch_save_compatible({"dims": dims, "model_state_dict": sd}, out_path)
+    try:
+        load_whisper(out_path)  # strict round-trip validation
+    except Exception:
+        os.remove(out_path)
+        raise
+    for d in asset_dirs:
+        if not os.path.isdir(d):
+            continue
+        for name in ("multilingual.tiktoken", "gpt2.tiktoken", "vocab.json"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                shutil.copy(p, os.path.join(out_dir, name))
+    return out_path

@@ -120,9 +120,15 @@ class TranscribeTool(BaseTool):
         if backend is None:
             await self.error(
                 websocket,
-                "no ASR backend: pass toolSettings.modelPath (a local whisper "
-                ".pt runs on the native flax Whisper; HF dirs run via "
-                "transformers), set XVA_WHISPER_CKPT, or register one via "
+                "no ASR model installed. One-time setup: download any "
+                "whisper checkpoint (e.g. "
+                "huggingface-cli download openai/whisper-base "
+                "--local-dir /tmp/whisper-base, or an OpenAI whisper "
+                "{size}.pt), then run\n"
+                "  python -m xva_trainer_tpu.cli import-whisper "
+                "/tmp/whisper-base --out ~/.xva/whisper\n"
+                "and set XVA_WHISPER_CKPT=~/.xva/whisper/whisper.pt (or pass "
+                "toolSettings.modelPath). Custom backends: "
                 "TranscribeTool.set_asr_backend",
             )
             return
