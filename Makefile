@@ -1,0 +1,20 @@
+# Test tiers (VERDICT r3 weak #6: the full suite does not fit a dev loop).
+#
+# make test      — the default tier: everything not marked slow; target <5 min
+#                  on a 1-CPU host. This is what `python -m pytest tests/ -q`
+#                  also runs (pytest.ini deselects slow by default).
+# make test-all  — the full suite including slow suites (kernel parity over
+#                  many shapes, full trainer e2e, torch-golden imports).
+#                  This is the CI / pre-release gate.
+# make test-slow — only the slow tier.
+
+PYTEST ?= python -m pytest
+
+test:
+	$(PYTEST) tests/ -q
+
+test-all:
+	$(PYTEST) tests/ -q -m ""
+
+test-slow:
+	$(PYTEST) tests/ -q -m slow

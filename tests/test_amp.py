@@ -9,6 +9,10 @@ with fp32 master params and fp32 losses. These tests check:
 - MAS returns identical paths for bf16 and fp32 inputs (ops/mas.py always
   accumulates fp32).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # numerics-parity tier: run via `make test-all`
 import jax
 import jax.numpy as jnp
 import numpy as np

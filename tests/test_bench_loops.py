@@ -1,6 +1,9 @@
 """CPU smokes for the trainer-loop benches that the TPU capture script runs
 (scripts/tpu_round3_capture.sh) — a plumbing failure there would otherwise
 only surface on the live chip."""
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import numpy as np
 
 from xva_trainer_tpu.models.xvapitch import XVAPitchConfig

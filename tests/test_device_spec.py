@@ -5,6 +5,10 @@ the 513-ch linear spec on device (train/xvapitch_trainer._materialize_spec).
 Reference ships the host-computed f32 spec every step
 (python/xvapitch/dataset.py:223-275).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # numerics-parity tier: run via `make test-all`
 import copy
 
 import jax

@@ -4,6 +4,10 @@ processes that initialize one distributed runtime, psum across processes
 over a global mesh, fan out host-0 state, and restore a proc-0 checkpoint
 on both. Everything else in parallel/distributed.py stays unit-tested
 single-process; this covers the genuinely multi-process seams."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import json
 import os
 import socket

@@ -1,4 +1,8 @@
 """Duration pre-extraction + gt-durs training path (stages ≥2 without MAS)."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # numerics-parity tier: run via `make test-all`
 import numpy as np
 import jax
 import jax.numpy as jnp

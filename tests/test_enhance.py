@@ -1,4 +1,7 @@
 """Learned speech enhancement: training improves SI-SDR on synthetic noise."""
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import numpy as np
 
 from xva_trainer_tpu.models.enhance import (

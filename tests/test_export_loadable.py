@@ -4,6 +4,10 @@ through ``torch.load`` + ``reference_model.load_state_dict(..., strict=True)``.
 This is the export contract (reference xva_train.py:984-1022 /
 fastpitch1_1/xva_train.py:1030-1047 / hifigan/xva_train.py:600-601).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import os
 
 import numpy as np

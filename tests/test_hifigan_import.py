@@ -4,6 +4,10 @@ Builds the reference torch Generator/MPD/MSD (random init), writes real
 torch.save g_/do_ archives, loads them through the torch-free
 interop.torch_io reader + rule maps, and checks forward parity.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # numerics-parity tier: run via `make test-all`
 import os
 
 import numpy as np

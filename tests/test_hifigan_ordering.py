@@ -8,6 +8,9 @@ stale D to save a generator forward. Given identical inputs and init:
 - the G update must DIFFER (stale vs updated D),
 both finite.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import jax
 import jax.numpy as jnp
 import numpy as np

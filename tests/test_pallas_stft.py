@@ -1,4 +1,7 @@
 """Fused Pallas mel kernel parity vs the jnp reference path (interpret mode on CPU)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import numpy as np
 import jax.numpy as jnp
 

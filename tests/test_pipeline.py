@@ -2,6 +2,9 @@
 retreat (reference handleTrainer.js:131-145 restarts with batch_size-3) and
 non-OOM error propagation. Fault-injection tests — the inner pipeline is
 monkeypatched."""
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 
 
 def test_oom_batch_retreat(monkeypatch):

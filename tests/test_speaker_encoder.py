@@ -1,6 +1,9 @@
 """Speaker encoder: shapes, pooling, crop embedding, and discriminativity
 (different "voices" should be farther apart than same-voice crops, even with
 random weights thanks to the instance-norm + spectral frontend)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import numpy as np
 import jax.numpy as jnp
 import torch

@@ -7,6 +7,10 @@ The reference frontend uses torchaudio (absent here), so parity splits:
   torchaudio.MelSpectrogram's documented semantics (center reflect, hamming
   400/512, hop 160, power 2, HTK mel, no norm).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import os
 
 import numpy as np

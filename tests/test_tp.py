@@ -5,6 +5,10 @@ these tests prove the reservation is real: a FastPitch train step runs on a
 (data=4, model=2) mesh with the 1536-wide FFN Megatron-sharded, and matches
 the replicated run's loss.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # numerics-parity tier: run via `make test-all`
 import numpy as np
 import jax
 import jax.numpy as jnp

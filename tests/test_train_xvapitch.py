@@ -1,5 +1,9 @@
 """xVAPitch trainer end-to-end smoke: tiny synthetic dataset → GAN steps →
 checkpoint → early-stop machinery → export."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import os
 
 import numpy as np

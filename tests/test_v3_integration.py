@@ -1,5 +1,9 @@
 """VERDICT #6 done-criterion: tiny finetune+priors pair → training → export →
 /exportWav synthesizes from the *restored* checkpoint (not fresh params)."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import asyncio
 import json
 import logging

@@ -1,4 +1,8 @@
 """Flax wav2vec2 CTC parity vs transformers' torch Wav2Vec2ForCTC."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full-size/e2e tier: run via `make test-all`
 import json
 import os
 
