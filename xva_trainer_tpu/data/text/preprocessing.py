@@ -324,6 +324,11 @@ class XvaTextPreprocessor:
         self.dicts: List[Dict[str, str]] = []
         self.dict_is_custom: List[bool] = []
         self.g2p_cache: Dict[str, str] = {}
+        # read-only fallback tier: shipped phonemizations captured from the
+        # REAL espeak-ng/epitran backends (the reference's committed
+        # g2p_cache tree — genuine binary output, not hand-written). Consulted
+        # on user-cache miss; never written, never saved back.
+        self.g2p_cache_shipped: Dict[str, str] = {}
         self.g2p_cache_path: Optional[str] = None
         self._g2p_cache_dirty = False
 
@@ -351,10 +356,20 @@ class XvaTextPreprocessor:
                     if os.path.exists(p):
                         self.load_dict(p, is_custom=is_custom)
                         break
-        if base_dir:
-            cache = self.spec.get("cache")
-            if cache:
-                self.load_g2p_cache(os.path.join(base_dir, "g2p_cache", cache))
+        cache = self.spec.get("cache")
+        if base_dir and cache:
+            self.load_g2p_cache(os.path.join(base_dir, "g2p_cache", cache))
+        if cache:
+            # shipped tier (assets/g2p_cache/): makes live-G2P words that the
+            # reference ecosystem has seen phonemize identically on a stock
+            # install with no espeak-ng binary — the same role as the
+            # reference's bundled eSpeak data tree
+            # (text_preprocessing.py:304-448). User-cache entries win.
+            shipped = os.path.normpath(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "..", "..",
+                "assets", "g2p_cache", os.path.basename(cache) + ".gz"))
+            if os.path.exists(shipped):
+                self.g2p_cache_shipped = self._load_shipped_g2p_cache(shipped)
         if use_heteronyms and self.spec.get("heteronyms"):
             # user override in base_dir, else the shipped h2p dict
             # (374 DEFAULT/VERB ARPAbet entries — parity data with the
@@ -536,6 +551,32 @@ class XvaTextPreprocessor:
 
     # ---------------- G2P cache ----------------
 
+    # shipped caches are immutable — parse each .gz once per process
+    _SHIPPED_G2P: Dict[str, Dict[str, str]] = {}
+
+    @classmethod
+    def _load_shipped_g2p_cache(cls, path: str) -> Dict[str, str]:
+        cached = cls._SHIPPED_G2P.get(path)
+        if cached is None:
+            import gzip
+
+            entries: Dict[str, str] = {}
+            with gzip.open(path, "rt", encoding="utf8") as f:
+                for line in f:
+                    if "|" in line:
+                        word, _, phones = line.partition("|")
+                        entries[word.lower().strip()] = phones.strip()
+            cached = cls._SHIPPED_G2P[path] = entries
+        return cached
+
+    def g2p_lookup(self, word: str) -> Optional[str]:
+        """Cached phonemization for ``word`` (already lowercased): the user's
+        on-disk cache first, then the shipped real-backend capture."""
+        hit = self.g2p_cache.get(word)
+        if hit is None:
+            hit = self.g2p_cache_shipped.get(word)
+        return hit
+
     def load_g2p_cache(self, path: str):
         self.g2p_cache_path = path
         if not os.path.exists(path):
@@ -597,7 +638,7 @@ class XvaTextPreprocessor:
                           .replace("]", "").replace("[", "").strip())
                     if not sp:
                         continue
-                    cached = self.g2p_cache.get(sp.lower())
+                    cached = self.g2p_lookup(sp.lower())
                     if self.spec.get("pinyin"):
                         # zh: cache values are PINYIN (g2pC output); a
                         # whole-phrase miss asks the live backend first
@@ -624,7 +665,7 @@ class XvaTextPreprocessor:
                             max_w = min(8, len(sp))
                             while pos < len(sp):
                                 for w in range(min(max_w, len(sp) - pos), 0, -1):
-                                    c = self.g2p_cache.get(sp[pos: pos + w].lower())
+                                    c = self.g2p_lookup(sp[pos: pos + w].lower())
                                     if c is not None:
                                         sub_phonemes.append(
                                             " ".join(pinyin_symbols(c)))
