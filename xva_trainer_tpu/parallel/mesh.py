@@ -67,9 +67,12 @@ def cpu_init_device():
     pytrees (shapes depend on feature dims, not batch or data), so compiling
     the init graph for the accelerator is pure waste — measured 207s for the
     full-size FastPitch init over the remote-compile tunnel vs seconds on
-    XLA:CPU. JAX's threefry PRNG is bit-deterministic across platforms, so
-    the initialized values are identical. Callers commit the result onto the
-    mesh afterwards (``commit_replicated``)."""
+    XLA:CPU. JAX's threefry PRNG gives bit-identical random *bits* for a
+    seed on any backend; initializer float math (e.g. truncated-normal's
+    erfinv) may differ across backends by float-rounding noise, so the
+    values are deterministic given the seed but not guaranteed bit-exact
+    cross-platform. Callers commit the result onto the mesh afterwards
+    (``commit_replicated``)."""
     import contextlib
 
     try:

@@ -744,9 +744,21 @@ class XVAPitchTrainer:
         })
 
     def output_samples(self, sentences, d_vector, out_dir: Optional[str] = None,
-                       lang_id: int = 5, max_frames: int = 512):
+                       lang_id: Optional[int] = None, max_frames: int = 512):
         """Viz sample wavs through the full model (reference :892-895,
-        output_samples :1323-1365, sentences from viz_sentences.json)."""
+        output_samples :1323-1365, sentences from viz_sentences.json).
+
+        lang_id defaults to the fine-tune dataset's language (its cache's
+        lang_to_id mapping) — a fixed constant here would synthesize every
+        non-English dataset's previews with the wrong language embedding."""
+        if lang_id is None:
+            caches = getattr(self.batcher, "caches", None)
+            if caches:
+                lang_id = int(getattr(caches[0], "lang_id", 0))
+            else:
+                from ..data.xva_dataset import lang_to_id
+
+                lang_id = lang_to_id("en")
         import jax
         import jax.numpy as jnp
 
