@@ -91,3 +91,31 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
         spec = P("data", *([None] * (arr.ndim - 1)))
         out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
     return out
+
+
+def sds_batch(mesh: Mesh, batch: dict) -> dict:
+    """ShapeDtypeStructs with exactly shard_batch's shardings — the abstract
+    mirror of a device batch, for AOT ``.lower().compile()`` compile-warming
+    (no H2D, no HBM)."""
+    import numpy as np
+
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            continue
+        arr = np.asarray(v)
+        spec = P("data", *([None] * (arr.ndim - 1)))
+        out[k] = jax.ShapeDtypeStruct(arr.shape, arr.dtype,
+                                      sharding=NamedSharding(mesh, spec))
+    return out
+
+
+def sds_replicated(mesh: Mesh, tree):
+    """ShapeDtypeStructs with the replicated sharding ``commit_replicated``
+    gives — the abstract mirror of a committed state pytree."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x), x.dtype,
+                                       sharding=repl),
+        tree,
+    )

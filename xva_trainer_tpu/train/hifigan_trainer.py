@@ -360,24 +360,21 @@ class HifiganTrainer:
 
     def precompile(self) -> None:
         """Compile-warm the fused G+D step (one shape: the 8192-sample
-        segment batch) by dispatching it once with a throwaway zeros state.
+        segment batch) via AOT ``.lower().compile()`` on abstract
+        ShapeDtypeStruct mirrors of the live state — no device memory is
+        touched (see FastPitchTrainer.precompile_stage for why dispatch-based
+        warming was replaced: concurrent throwaway states OOM'd the chip).
 
         Run on a train/precompile.py worker thread during the FastPitch
         stages so the vocoder hand-off pays no first-dispatch compile
-        (the north-star's hifi warmup was 290s of exactly this). The step
-        donates its state argument, so a fresh zeros clone — never
-        ``self.state`` — is what gets donated."""
-        from ..parallel.mesh import cpu_init_device
+        (the north-star's hifi warmup was 290s of exactly this)."""
+        from ..parallel.mesh import sds_batch, sds_replicated
 
-        with cpu_init_device():
-            state = jax.tree_util.tree_map(
-                lambda x: jnp.zeros(jnp.shape(x), x.dtype), self.state)
-        state = commit_replicated(state, self.mesh)
+        state_sds = sds_replicated(self.mesh, self.state)
         seg = np.zeros((self.cfg.batch_size, SEGMENT_SIZE, 1), np.float32)
-        dev = shard_batch(self.mesh, {"wav": seg})["wav"]
+        dev = sds_batch(self.mesh, {"wav": seg})["wav"]
         with self.mesh:
-            state, _ = self._step_fn(state, dev)
-        jax.block_until_ready(state.step)
+            self._step_fn.lower(state_sds, dev).compile()
 
     def load_generator_params(self, g_params):
         """Warm-start from a pretrained generator (the [male]/[female] g_ ckpt
