@@ -1,8 +1,9 @@
 # Test tiers (VERDICT r3 weak #6: the full suite does not fit a dev loop).
 #
-# make test      — the default tier: everything not marked slow; target <5 min
-#                  on a 1-CPU host. This is what `python -m pytest tests/ -q`
-#                  also runs (pytest.ini deselects slow by default).
+# make test      — the default tier: everything not marked slow; measured
+#                  6:46 for 218 tests on this 1-CPU host (2026-08-19). This
+#                  is what `python -m pytest tests/ -q` also runs
+#                  (pytest.ini deselects slow by default).
 # make test-all  — the full suite including slow suites (kernel parity over
 #                  many shapes, full trainer e2e, torch-golden imports).
 #                  This is the CI / pre-release gate.

@@ -200,14 +200,10 @@ def bench_hifigan(B=16, iters=10):
     }
 
 
-def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
-    # B=128 @ 384 frames is what the trainer actually runs in its 384-mel
-    # bucket (XvaBatcher.batch_size_for: batch 64 at the 768 bucket scales
-    # to 128 here; memory-constant batch×frames). Measured 109.2k frames/s
-    # (2026-08-17), vs 91.9k @ B=64 and 71.1k @ B=32.
-    """Full-size xVAPitch fused G+D micro-step (the reference's headline
-    frames/s metric: Σ batch mel_lengths / step wall time; dev-note baseline
-    ~8.5-9k frames/s/GPU — training_util.py:48-56)."""
+def _xvapitch_state_and_batch(B=128, T_TEXT=96, T_SPEC=384):
+    """Full-size xVAPitch model/disc/optimizers/state + a production-feed
+    batch (int16 audio, device-spec) — shared by bench_xvapitch and
+    bench_ab_fused_gd.py."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -217,7 +213,7 @@ def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
         XVAPitch,
         XVAPitchConfig,
     )
-    from xva_trainer_tpu.train.xvapitch_trainer import V3State, make_v3_step
+    from xva_trainer_tpu.train.xvapitch_trainer import V3State, _materialize_spec
 
     cfg = XVAPitchConfig()  # full "big" config, pitch on
     model = XVAPitch(cfg)
@@ -244,8 +240,6 @@ def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
     }
     rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
         ["params", "noise", "segments", "dropout"])}
-    from xva_trainer_tpu.train.xvapitch_trainer import _materialize_spec
-
     lin0, wav0 = _materialize_spec(batch, hop=cfg.hop_length)
     g_params = model.init(
         rngs, batch["tokens"], batch["tlens"], lin0, batch["slens"],
@@ -267,6 +261,23 @@ def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
         g_opt=g_tx.init(g_params), d_opt=d_tx.init(d_params),
         step=jnp.zeros((), jnp.int32),
     )
+    return model, disc, g_tx, d_tx, state, batch
+
+
+def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
+    # B=128 @ 384 frames is what the trainer actually runs in its 384-mel
+    # bucket (XvaBatcher.batch_size_for: batch 64 at the 768 bucket scales
+    # to 128 here; memory-constant batch×frames). Measured 109.2k frames/s
+    # (2026-08-17), vs 91.9k @ B=64 and 71.1k @ B=32.
+    """Full-size xVAPitch fused G+D micro-step (the reference's headline
+    frames/s metric: Σ batch mel_lengths / step wall time; dev-note baseline
+    ~8.5-9k frames/s/GPU — training_util.py:48-56)."""
+    import jax
+
+    from xva_trainer_tpu.train.xvapitch_trainer import make_v3_step
+
+    model, disc, g_tx, d_tx, state, batch = _xvapitch_state_and_batch(
+        B, T_TEXT, T_SPEC)
     step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False)
     keys = [jax.random.PRNGKey(i) for i in range(iters + 1)]
     # FLOPs for the default-on MFU metric (VERDICT r3 #3); lowered-module
@@ -284,7 +295,7 @@ def bench_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
         loss = float(meta["loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
     dt = best
-    frames = int(np.sum(slens))
+    frames = int(np.sum(np.asarray(batch["slens"])))
     out = {
         "xvapitch_steps_per_sec": 1.0 / dt,
         "xvapitch_frames_per_sec": frames / dt,

@@ -87,6 +87,9 @@ class XvaTrainConfig:
     # 100 MB spec read+transpose. The reference ships the full f32 spec every
     # step (python/xvapitch/dataset.py:223-275 collate → cuda transfer).
     device_spec: bool = True
+    # one combined backward for both G and D gradient trees (stop_gradient
+    # routing; numerics identical to the two-pass step — tests/test_fused_gd)
+    fused_gd: bool = True
 
     @property
     def gam(self) -> int:
@@ -181,6 +184,7 @@ def make_v3_step(
     freeze_post_dec: bool,
     hifi_only: bool = False,
     use_amp: bool = True,
+    fused_gd: bool = True,
 ):
     """One jitted micro-step: G loss+grads, D loss+grads on stopped fakes,
     both optimizer updates (MultiSteps handles gam accumulation).
@@ -189,6 +193,17 @@ def make_v3_step(
     the TPU analogue of the reference's default-on torch.cuda.amp
     (xva_train.py:551). The SDP stays fp32 (spline-flow logdets), MAS
     accumulates fp32 inside ops/mas.py, and all losses are fp32.
+
+    fused_gd (default): compute BOTH gradient trees in one backward pass
+    over a combined loss ``g_loss + d_loss`` with stop_gradient routing —
+    ``g_loss`` sees stop_gradient(d_params) (so no G-adversarial cotangent
+    leaks into the D update) and ``d_loss`` sees stop_gradient(fakes/reals)
+    (so no D cotangent leaks into the G update). Gradients are identical to
+    the two-pass formulation (test_v3_fused_gd_matches_unfused); the win is
+    one backward traversal of the discriminator graph instead of two, and
+    one CSE'd D forward. Both steps use the PRE-update d_params for the G
+    adversarial term, exactly like the reference's same-iteration G/D passes
+    (python/xvapitch/xva_train.py:652-706).
     """
     _g_apply = (
         functools.partial(amp.amp_apply, model.apply,
@@ -199,47 +214,8 @@ def make_v3_step(
         functools.partial(amp.amp_apply, disc.apply) if use_amp else disc.apply
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: V3State, batch, rng):
-        rngs = {
-            "noise": jax.random.fold_in(rng, 0),
-            "segments": jax.random.fold_in(rng, 1),
-            "dropout": jax.random.fold_in(rng, 2),
-        }
-        linear, wav = _materialize_spec(batch, hop=model.cfg.hop_length)
-
-        def g_loss_fn(g_params):
-            if hifi_only:
-                out = _g_apply(
-                    g_params, linear, batch["slens"], wav,
-                    batch["dvec"],
-                    method=XVAPitch.train_hifi_only, rngs=rngs,
-                )
-            else:
-                out = _g_apply(
-                    g_params, batch["tokens"], batch["tlens"], linear,
-                    batch["slens"], batch["pitch"], batch["energy"],
-                    wav, batch["dvec"], batch["lang"],
-                    method=XVAPitch.train_step, rngs=rngs,
-                )
-            s_fake, f_fake, s_real, f_real = _d_apply(
-                state.d_params, out["model_outputs"], out["waveform_seg"]
-            )
-            loss, meta = v_losses.generator_loss(
-                out, s_fake, f_fake, f_real,
-                language_ids=batch["lang"], spec_lengths=batch["slens"],
-                hifi_only=hifi_only,
-            )
-            aux = {
-                "meta": meta,
-                "fake": jax.lax.stop_gradient(out["model_outputs"]),
-                "real": out["waveform_seg"],
-            }
-            return loss, aux
-
-        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
+    def _finish(state, g_loss, g_grads, d_loss, d_grads, meta):
+        """Shared tail: NaN guards, freeze masks, both optimizer updates."""
         ok = jnp.isfinite(g_loss)
         g_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads
@@ -259,12 +235,6 @@ def make_v3_step(
         # nothing while weight-decaying the pretrained masters")
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
-        def d_loss_fn(d_params):
-            s_fake, _, s_real, _ = _d_apply(d_params, aux["fake"], aux["real"])
-            loss, _ = v_losses.discriminator_loss(s_real, s_fake)
-            return loss
-
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
         ok_d = jnp.isfinite(d_loss)
         d_grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok_d, g, jnp.zeros_like(g)), d_grads
@@ -272,7 +242,7 @@ def make_v3_step(
         d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         new_d_params = optax.apply_updates(state.d_params, d_updates)
 
-        meta = dict(aux["meta"])
+        meta = dict(meta)
         meta["loss_disc"] = d_loss
         return (
             V3State(
@@ -282,7 +252,97 @@ def make_v3_step(
             meta,
         )
 
-    return step
+    def _g_forward(g_params, batch, linear, wav, rngs):
+        if hifi_only:
+            return _g_apply(
+                g_params, linear, batch["slens"], wav,
+                batch["dvec"],
+                method=XVAPitch.train_hifi_only, rngs=rngs,
+            )
+        return _g_apply(
+            g_params, batch["tokens"], batch["tlens"], linear,
+            batch["slens"], batch["pitch"], batch["energy"],
+            wav, batch["dvec"], batch["lang"],
+            method=XVAPitch.train_step, rngs=rngs,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fused(state: V3State, batch, rng):
+        rngs = {
+            "noise": jax.random.fold_in(rng, 0),
+            "segments": jax.random.fold_in(rng, 1),
+            "dropout": jax.random.fold_in(rng, 2),
+        }
+        linear, wav = _materialize_spec(batch, hop=model.cfg.hop_length)
+
+        def both_loss_fn(g_params, d_params):
+            out = _g_forward(g_params, batch, linear, wav, rngs)
+            # G adversarial term: stop_gradient on the D params cuts
+            # ∂g_loss/∂d_params, so grad wrt d_params is exactly ∂d_loss/∂d
+            s_fake, f_fake, s_real, f_real = _d_apply(
+                jax.lax.stop_gradient(d_params),
+                out["model_outputs"], out["waveform_seg"]
+            )
+            g_loss, meta = v_losses.generator_loss(
+                out, s_fake, f_fake, f_real,
+                language_ids=batch["lang"], spec_lengths=batch["slens"],
+                hifi_only=hifi_only,
+            )
+            # D term: stopped fakes/reals cut ∂d_loss/∂g_params. The two
+            # D forwards are value-identical (stop_gradient is forward
+            # identity) — XLA CSE collapses them to one.
+            s_fake_d, _, s_real_d, _ = _d_apply(
+                d_params,
+                jax.lax.stop_gradient(out["model_outputs"]),
+                jax.lax.stop_gradient(out["waveform_seg"]),
+            )
+            d_loss, _ = v_losses.discriminator_loss(s_real_d, s_fake_d)
+            return g_loss + d_loss, (meta, g_loss, d_loss)
+
+        (_, (meta, g_loss, d_loss)), (g_grads, d_grads) = jax.value_and_grad(
+            both_loss_fn, argnums=(0, 1), has_aux=True
+        )(state.g_params, state.d_params)
+        return _finish(state, g_loss, g_grads, d_loss, d_grads, meta)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_unfused(state: V3State, batch, rng):
+        rngs = {
+            "noise": jax.random.fold_in(rng, 0),
+            "segments": jax.random.fold_in(rng, 1),
+            "dropout": jax.random.fold_in(rng, 2),
+        }
+        linear, wav = _materialize_spec(batch, hop=model.cfg.hop_length)
+
+        def g_loss_fn(g_params):
+            out = _g_forward(g_params, batch, linear, wav, rngs)
+            s_fake, f_fake, s_real, f_real = _d_apply(
+                state.d_params, out["model_outputs"], out["waveform_seg"]
+            )
+            loss, meta = v_losses.generator_loss(
+                out, s_fake, f_fake, f_real,
+                language_ids=batch["lang"], spec_lengths=batch["slens"],
+                hifi_only=hifi_only,
+            )
+            aux = {
+                "meta": meta,
+                "fake": jax.lax.stop_gradient(out["model_outputs"]),
+                "real": out["waveform_seg"],
+            }
+            return loss, aux
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+
+        def d_loss_fn(d_params):
+            s_fake, _, s_real, _ = _d_apply(d_params, aux["fake"], aux["real"])
+            loss, _ = v_losses.discriminator_loss(s_real, s_fake)
+            return loss
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        return _finish(state, g_loss, g_grads, d_loss, d_grads, aux["meta"])
+
+    return step_fused if fused_gd else step_unfused
 
 
 def make_v3_loss_eval(model: XVAPitch, use_amp: bool = True):
@@ -435,10 +495,10 @@ class XVAPitchTrainer:
         self._steps = {
             False: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
                                 False, hifi_only=cfg.hifi_only,
-                                use_amp=cfg.use_amp),
+                                use_amp=cfg.use_amp, fused_gd=cfg.fused_gd),
             True: make_v3_step(self.model, self.disc, self.g_tx, self.d_tx,
                                True, hifi_only=cfg.hifi_only,
-                               use_amp=cfg.use_amp),
+                               use_amp=cfg.use_amp, fused_gd=cfg.fused_gd),
         }
         self.stage = 1
         self.training_iters = 0       # optimizer steps
