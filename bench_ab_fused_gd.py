@@ -42,11 +42,15 @@ def main():
 
     report = {"platform": platform, "B": args.B, "T_text": args.T_text,
               "T_spec": args.T_spec, "iters": args.iters}
-    for name, fused in (("unfused", False), ("fused", True)):
+
+    def run_variant(name, fused, model, disc, g_tx, d_tx, state, batch):
+        """Runs one variant in its own scope so its donated state chain and
+        executables are droppable before the other variant builds (two full
+        V3States + activations do not fit HBM together)."""
         step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False,
                             fused_gd=fused)
-        flops = _step_flops(step, state0, batch, keys[-1])
-        state, meta = step(state0, batch, keys[-1])  # compile+warm (donates)
+        flops = _step_flops(step, state, batch, keys[-1])
+        state, meta = step(state, batch, keys[-1])  # compile+warm (donates)
         jax.block_until_ready(meta["loss"])
         best = float("inf")
         for _ in range(3):
@@ -62,9 +66,17 @@ def main():
             report[f"{name}_step_tflops"] = round(flops / 1e12, 3)
             report[f"{name}_mfu_vs_bf16_peak"] = round(
                 (flops / best) / _bf16_peak_flops(), 4)
-        # re-make state for the next variant (step donated it)
-        model, disc, g_tx, d_tx, state0, batch = _xvapitch_state_and_batch(
-            args.B, args.T_text, args.T_spec)
+        if hasattr(step, "clear_cache"):
+            step.clear_cache()  # free the variant's compiled executable
+
+    import gc
+
+    run_variant("unfused", False, model, disc, g_tx, d_tx, state0, batch)
+    del model, disc, g_tx, d_tx, state0, batch
+    gc.collect()
+    model, disc, g_tx, d_tx, state0, batch = _xvapitch_state_and_batch(
+        args.B, args.T_text, args.T_spec)
+    run_variant("fused", True, model, disc, g_tx, d_tx, state0, batch)
 
     report["fused_speedup"] = round(
         report["unfused_step_ms"] / report["fused_step_ms"], 3)

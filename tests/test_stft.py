@@ -157,3 +157,31 @@ def test_odd_length_signal():
     ours = np.asarray(mel_spectrogram(jnp.asarray(y)))
     assert ours.shape == ref.shape
     assert np.abs(ours - ref).mean() < 1e-3
+
+
+def test_fft_vs_matmul_cross_parity(audio_batch):
+    """The two STFT formulations (XLA fft / MXU DFT-basis matmul) must agree
+    closely: default_stft_method() picks matmul on accelerators and fft on
+    CPU, so any drift between them would mean the train step computes a
+    different spectrogram on TPU than every CPU-run parity test checks."""
+    from xva_trainer_tpu.ops.stft import stft_magnitude
+
+    y = jnp.asarray(audio_batch)
+    a = np.asarray(stft_magnitude(y, method="fft"))
+    b = np.asarray(stft_magnitude(y, method="matmul"))
+    assert np.abs(a - b).max() < 2e-3
+    assert np.abs(a - b).mean() < 1e-5
+    ml_a = np.asarray(mel_spectrogram_hifigan(y, method="fft"))
+    ml_b = np.asarray(mel_spectrogram_hifigan(y, method="matmul"))
+    assert np.abs(ml_a - ml_b).max() < 5e-3  # post-log, clamped at 1e-5
+
+
+def test_default_stft_method_env_override(monkeypatch):
+    from xva_trainer_tpu.ops.stft import default_stft_method
+
+    monkeypatch.setenv("XVA_STFT_METHOD", "matmul")
+    assert default_stft_method() == "matmul"
+    monkeypatch.setenv("XVA_STFT_METHOD", "fft")
+    assert default_stft_method() == "fft"
+    monkeypatch.delenv("XVA_STFT_METHOD")
+    assert default_stft_method() in ("fft", "matmul")

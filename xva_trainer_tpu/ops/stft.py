@@ -100,13 +100,30 @@ def _pad_reflect(y: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(y, pad_cfg, mode="reflect")
 
 
+def default_stft_method() -> str:
+    """STFT formulation for device compute: the windowed-DFT-basis matmul on
+    accelerators (rides the MXU — measured 2x the XLA fft lowering for the
+    mel cache path, BENCH_r03; TPUs have no FFT hardware), jnp.fft on CPU
+    (where the radix FFT beats an O(n²) matmul). Override: XVA_STFT_METHOD.
+    Called at trace time, so each backend compiles its own best form."""
+    import os
+
+    env = os.environ.get("XVA_STFT_METHOD")
+    if env in ("fft", "matmul"):
+        return env
+    try:
+        return "matmul" if jax.default_backend() != "cpu" else "fft"
+    except Exception:  # pre-backend-init call
+        return "fft"
+
+
 def stft_magnitude(
     y: jnp.ndarray,
     cfg: MelConfig = DEFAULT_MEL,
     *,
     center: bool = True,
     mag_eps: float = 0.0,
-    method: str = "fft",
+    method: Optional[str] = None,
 ) -> jnp.ndarray:
     """|STFT| of (..., T) → (..., n_freqs, num_frames).
 
@@ -117,7 +134,11 @@ def stft_magnitude(
     per-item reflect of n_fft//2, ops/features.py batched cache build), so
     frame t covers item[t*hop - n_fft//2 : t*hop + n_fft//2] exactly like
     center=True; num_frames = 1 + (T - n_fft)//hop.
+    method=None → default_stft_method() (matmul on accelerators, fft on CPU;
+    both parity-tested against each other and torch at <1e-3 L1).
     """
+    if method is None:
+        method = default_stft_method()
     n_fft, hop = cfg.n_fft, cfg.hop_length
     T = y.shape[-1]
     if center is None:
@@ -191,7 +212,7 @@ def mel_spectrogram(
     y: jnp.ndarray,
     cfg: MelConfig = DEFAULT_MEL,
     *,
-    method: str = "fft",
+    method: Optional[str] = None,
 ) -> jnp.ndarray:
     """Tacotron-style log-mel of (..., T) in [-1,1] → (..., n_mels, frames).
 
@@ -210,7 +231,7 @@ def mel_spectrogram_hifigan(
     y: jnp.ndarray,
     cfg: MelConfig = DEFAULT_MEL,
     *,
-    method: str = "fft",
+    method: Optional[str] = None,
 ) -> jnp.ndarray:
     """HiFi-GAN-style log-mel: center=False, (n_fft-hop)/2 pad, +1e-9 mag eps.
 
