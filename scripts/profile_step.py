@@ -66,6 +66,11 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
+    from xva_trainer_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
     import jax
 
     from bench import probe_backend
