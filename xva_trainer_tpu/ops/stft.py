@@ -104,15 +104,25 @@ def default_stft_method() -> str:
     """STFT formulation for device compute: the windowed-DFT-basis matmul on
     accelerators (rides the MXU — measured 2x the XLA fft lowering for the
     mel cache path, BENCH_r03; TPUs have no FFT hardware), jnp.fft on CPU
-    (where the radix FFT beats an O(n²) matmul). Override: XVA_STFT_METHOD.
-    Called at trace time, so each backend compiles its own best form."""
+    (where the radix FFT beats an O(n²) matmul).
+
+    The target platform is the active ``jax.default_device`` when one is set
+    (so CPU-pinned traces on a TPU host — the cpu_init_device pattern — get
+    the radix FFT, not the O(n²) matmul; ADVICE r4 low), else the process
+    default backend. Called at trace time, so each placement compiles its
+    own best form. Escape hatch: ``XVA_STFT_METHOD=fft|matmul`` forces one
+    formulation everywhere.
+    """
     import os
 
     env = os.environ.get("XVA_STFT_METHOD")
     if env in ("fft", "matmul"):
         return env
     try:
-        return "matmul" if jax.default_backend() != "cpu" else "fft"
+        dev = jax.config.jax_default_device
+        platform = (getattr(dev, "platform", None)
+                    or jax.default_backend())
+        return "matmul" if platform != "cpu" else "fft"
     except Exception:  # pre-backend-init call
         return "fft"
 

@@ -520,9 +520,22 @@ class FastPitchTrainer:
                     if self.stop_requested:
                         break
                     rng, sub = jax.random.split(rng)
+                    t_disp = time.perf_counter()
                     self.state, meta = self._step_fn(
                         self.state, dev_batch, jnp.asarray(self.kl_weight()), sub
                     )
+                    t_disp = time.perf_counter() - t_disp
+                    if t_disp > 5.0:
+                        # dispatch is async; a multi-second call means the
+                        # step compiled right here — i.e. this (stage, shape)
+                        # missed every warmed cache. Silent before (ADVICE r4
+                        # low): precompile signature drift looked like an
+                        # unexplained stage-start stall.
+                        self.logger.log(
+                            f"[compile] stage {self.stage} shape "
+                            f"{tuple(dev_batch['mel'].shape)} compiled at "
+                            f"dispatch ({t_disp:.0f}s) — precompiled "
+                            f"executable missed")
                     self.total_iter += 1
                     if pending is not None:
                         loss = float(pending)

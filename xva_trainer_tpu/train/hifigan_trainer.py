@@ -296,10 +296,17 @@ class HifiganTrainer:
         self.tb = make_tensorboard(cfg.output_dir)  # torch-free (tb_writer.py)
 
     def setup(self, resume: bool = True, pretrained_g: Optional[str] = None,
-              pretrained_do: Optional[str] = None):
+              pretrained_do: Optional[str] = None, commit: bool = True):
         """Init params; resume from orbax if present, else warm-start from the
         reference's torch g_/do_ checkpoints ("never from scratch",
-        reference hifigan/xva_train.py:276-296)."""
+        reference hifigan/xva_train.py:276-296).
+
+        commit=False keeps the state host-resident (no HBM): the pipeline
+        builds this trainer on a background thread while FastPitch trains,
+        and a committed G+D params + double optimizer state would sit in
+        device memory through FastPitch's 12x-batch stage 2 (ADVICE r4
+        medium). precompile() only needs ShapeDtypeStruct avals; train()
+        commits on entry."""
         rng = jax.random.PRNGKey(self.cfg.seed)
         # B=1 on the host CPU: param shapes depend only on feature dims —
         # no accelerator compile of the init graph (parallel/mesh.
@@ -355,8 +362,15 @@ class HifiganTrainer:
                    if pretrained_do else "")
             )
         # commit replicated over the mesh: one jit cache entry per batch shape
-        self.state = commit_replicated(state, self.mesh)
+        self._committed = commit
+        self.state = commit_replicated(state, self.mesh) if commit else state
         return self.state
+
+    def commit(self):
+        """Move a host-resident state (setup(commit=False)) onto the mesh."""
+        if not getattr(self, "_committed", True):
+            self.state = commit_replicated(self.state, self.mesh)
+            self._committed = True
 
     def precompile(self) -> None:
         """Compile-warm the fused G+D step (one shape: the 8192-sample
@@ -403,7 +417,13 @@ class HifiganTrainer:
                         break
                     if self._max_iters and self.total_iter >= self._max_iters:
                         break
+                    t_disp = time.perf_counter()
                     self.state, meta = self._step_fn(self.state, dev)
+                    t_disp = time.perf_counter() - t_disp
+                    if t_disp > 5.0:
+                        self.logger.log(
+                            f"[compile] hifigan step compiled at dispatch "
+                            f"({t_disp:.0f}s) — precompiled executable missed")
                     self.total_iter += 1
                     if pending is not None:
                         mel_l1 = float(pending)
@@ -464,6 +484,7 @@ class HifiganTrainer:
     def train(self, max_epochs: int = 10**6, max_iters: Optional[int] = None) -> Dict:
         if not hasattr(self, "state"):
             self.setup()
+        self.commit()  # no-op unless setup(commit=False) deferred HBM use
         self._max_iters = max_iters
         start = time.perf_counter()
         for _ in range(max_epochs):

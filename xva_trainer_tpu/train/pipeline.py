@@ -154,9 +154,13 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
     hifi_holder: Dict = {}
 
     def _build_hifi():
+        # commit=False: built on a background thread while FastPitch trains —
+        # the G+D params + optimizer states stay host-resident so they don't
+        # occupy HBM through FastPitch's 12x-batch stage 2 (ADVICE r4
+        # medium); hifi.train() commits at the hand-off
         h = HifiganTrainer(cfg.dataset_path, hifi_cfg, gen_cfg, mesh=mesh,
                            logger=logger)
-        h.setup()
+        h.setup(commit=False)
         h.precompile()
         hifi_holder["trainer"] = h
 
@@ -195,7 +199,19 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
         logger.log(f"[pipeline] FastPitch done: {fp_result} → {fp_path}")
 
     if pre is not None:
-        pre.wait()
+        # bounded wait: a hung background compile (e.g. a stalled
+        # remote-compile tunnel) must not block the hand-off forever — every
+        # precompile is a pure optimization with a first-dispatch fallback
+        # (ADVICE r4 low). 1200s covers the slowest observed cold task
+        # (fp_stage3 504s) with margin.
+        if not pre.wait(timeout=float(os.environ.get(
+                "XVA_PRECOMPILE_WAIT_S", "1200"))):
+            unfinished = [n for n in ("fp_align", "fp_stage1", "fp_stage2",
+                                      "fp_stage3", "fp_stage4", "hifigan")
+                          if n not in pre.timings
+                          and n not in [e[0] for e in pre.errors]]
+            logger.log(f"[precompile] wait timed out; proceeding — unfinished "
+                       f"tasks pay first-dispatch compiles: {unfinished}")
         if pre.errors:
             logger.log(f"[precompile] background errors (falling back to "
                        f"first-dispatch compiles): {pre.errors}")

@@ -65,19 +65,25 @@ def _exclude_cpu_backend() -> None:
         real_get = cc.get_executable_and_time
         real_put = cc.put_executable_and_time
 
-        def get_executable_and_time(cache_key, compile_options, backend,
-                                    executable_devices):
-            if getattr(backend, "platform", None) == "cpu":
-                return None, None
-            return real_get(cache_key, compile_options, backend,
-                            executable_devices)
+        def _is_cpu_backend(args, kwargs) -> bool:
+            """Locate the backend among args/kwargs by its ``platform``
+            attribute instead of pinning a positional signature — a future
+            jax that adds/renames a parameter degrades to pass-through
+            instead of TypeError-ing every compile (ADVICE r4 low)."""
+            for v in list(args) + list(kwargs.values()):
+                if getattr(v, "platform", None) == "cpu":
+                    return True
+            return False
 
-        def put_executable_and_time(cache_key, module_name, executable,
-                                    backend, compile_time):
-            if getattr(backend, "platform", None) == "cpu":
+        def get_executable_and_time(*args, **kwargs):
+            if _is_cpu_backend(args, kwargs):
+                return None, None
+            return real_get(*args, **kwargs)
+
+        def put_executable_and_time(*args, **kwargs):
+            if _is_cpu_backend(args, kwargs):
                 return None
-            return real_put(cache_key, module_name, executable, backend,
-                            compile_time)
+            return real_put(*args, **kwargs)
 
         cc.get_executable_and_time = get_executable_and_time
         cc.put_executable_and_time = put_executable_and_time
