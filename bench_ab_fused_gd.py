@@ -49,7 +49,7 @@ def main():
         V3States + activations do not fit HBM together)."""
         step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False,
                             fused_gd=fused)
-        flops = _step_flops(step, state, batch, keys[-1])
+        flops = _step_flops(step, None, state, batch, keys[-1])
         state, meta = step(state, batch, keys[-1])  # compile+warm (donates)
         jax.block_until_ready(meta["loss"])
         best = float("inf")
