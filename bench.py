@@ -3,9 +3,9 @@
 Headline (BASELINE.json): xVAPitch train frames/s/chip (the reference's own
 metric: Σ batch mel_lengths / optimizer-step wall time, reference
 python/xvapitch/xva_train.py:645,751) against its dev-note ~8.75k frames/s/GPU
-(training_util.py:48-56); falls back to the fused Pallas mel kernel throughput
-vs this repo's jnp/XLA-FFT mel path when the train benches don't fit the
-budget.
+(training_util.py:48-56); falls back to the production mel path throughput
+(the MXU DFT-basis matmul) vs the XLA-FFT lowering when the train benches
+don't fit the budget.
 
 Cold-machine robustness (round-1 verdict #1): a watchdog thread emits the
 best-available metric line and exits rc=0 at XVA_BENCH_BUDGET seconds
@@ -94,21 +94,38 @@ def bench_mel(B=64, T=221184, iters=50, platform: str = "tpu"):
     """Device-only throughput: iterate inside one jit (fori_loop over perturbed
     inputs, single scalar readback) so tunnel dispatch latency is excluded.
 
+    Variants on an accelerator (VERDICT r4 #3 — the headline must be the
+    fastest path, which is also what fresh production caches build with):
+    - default: the ops default ``mel_spectrogram`` — the windowed-DFT-basis
+      matmul on TPU (ops/stft.default_stft_method), the production cache path
+    - xla_fft: the same mel forced through XLA's fft lowering (the ratio
+      denominator)
+    - pallas: the fused Pallas kernel (kept measured; 0.844x the matmul on
+      the r4 capture — no longer the default)
+
     CPU fallback (tunnel down): interpret-mode Pallas is orders of magnitude
     too slow to time at these sizes, so only the XLA-FFT path is measured
     (smaller shapes) and reported under both keys with ratio 1.0.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
     from xva_trainer_tpu.ops import mel_spectrogram
 
-    variants = [("xla_fft", mel_spectrogram)]
     if platform == "cpu":
         B, T, iters = 4, 22528, 3
+        variants = [("default", mel_spectrogram),
+                    ("xla_fft", functools.partial(mel_spectrogram,
+                                                  method="fft"))]
     else:
         from xva_trainer_tpu.ops.pallas_stft import mel_spectrogram_pallas
 
-        variants.append(("pallas", mel_spectrogram_pallas))
+        variants = [
+            ("default", mel_spectrogram),
+            ("xla_fft", functools.partial(mel_spectrogram, method="fft")),
+            ("pallas", mel_spectrogram_pallas),
+        ]
 
     rng = np.random.default_rng(0)
     y = jnp.asarray(np.clip(rng.standard_normal((B, T)) * 0.1, -1, 1).astype(np.float32))
@@ -133,6 +150,7 @@ def bench_mel(B=64, T=221184, iters=50, platform: str = "tpu"):
         dt = (time.perf_counter() - t0) / iters
         results[name] = frames / dt
     results.setdefault("pallas", results["xla_fft"])
+    results.setdefault("default", results["xla_fft"])
     return results
 
 
@@ -151,12 +169,21 @@ def main():
     platform = probe_backend()
 
     r = bench_mel(platform=platform)
+    mel_extras = {
+        "mel_frames_per_sec_per_chip": round(r["default"], 1),
+        "mel_vs_xla_fft": round(r["default"] / r["xla_fft"], 3),
+        "mel_pallas_vs_default": round(r["pallas"] / r["default"], 3),
+        "mel_fastest_variant": max(
+            (k for k in ("default", "xla_fft", "pallas") if k in r),
+            key=lambda k: r[k]),
+    }
     mel_line = {
         "metric": "mel_frames_per_sec_per_chip",
-        "value": round(r["pallas"], 1),
+        "value": round(r["default"], 1),
         "unit": "frames/s",
-        "vs_baseline": round(r["pallas"] / r["xla_fft"], 3),
+        "vs_baseline": round(r["default"] / r["xla_fft"], 3),
         "platform": platform,
+        **mel_extras,
     }
     if platform == "cpu":
         mel_line["note"] = ("accelerator backend unavailable; CPU fallback "
@@ -180,9 +207,8 @@ def main():
                         "vs_baseline": round(
                             extras["xvapitch_frames_per_sec"]
                             / REFERENCE_XVAP_FRAMES_PER_SEC, 3),
-                        "mel_frames_per_sec_per_chip": round(r["pallas"], 1),
-                        "mel_vs_xla_fft": round(r["pallas"] / r["xla_fft"], 3),
                         "platform": platform,
+                        **mel_extras,
                     }
                     line.update(extras)
                 else:

@@ -64,9 +64,9 @@ class XvaFeatureCache:
         self.items = read_metadata(dataset_path)
         drop_known_corrupt(self)
         if use_pallas is None:
-            import jax
+            from .dataset import default_use_pallas
 
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = default_use_pallas()
         self.use_pallas = use_pallas
         from .packed import PackedReader
 
