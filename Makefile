@@ -19,3 +19,9 @@ test-all:
 
 test-slow:
 	$(PYTEST) tests/ -q -m slow
+
+# Regenerate README's perf table from the newest committed capture
+# (BENCH_r*.json / BENCH_local*.json + northstar*.json). The default test
+# tier asserts the table is current (tests/test_readme_sync.py).
+readme-perf:
+	python scripts/sync_readme_perf.py
