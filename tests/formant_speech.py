@@ -26,6 +26,8 @@ SPEAKERS = {
     0: dict(f0=112.0, tract=1.00, breathy=0.02),   # low male-ish
     1: dict(f0=205.0, tract=1.18, breathy=0.05),   # higher female-ish
     2: dict(f0=150.0, tract=0.92, breathy=0.01),   # mid
+    3: dict(f0=95.0, tract=1.06, breathy=0.03),    # deep male-ish
+    4: dict(f0=232.0, tract=1.24, breathy=0.04),   # high female-ish
 }
 
 # (F1, F2, F3) vowel targets in Hz (schwa-adjacent set keeps it generic)
@@ -116,11 +118,68 @@ def music_bed(dur: float, level: float = 0.02) -> np.ndarray:
     return (level * y / 3.0).astype(np.float32)
 
 
+def synthetic_rir(rt60: float = 0.4, dur: float = 0.35,
+                  seed: int = 0) -> np.ndarray:
+    """Synthetic room impulse response: direct path + exponentially decaying
+    diffuse noise tail calibrated so the envelope hits -60 dB at rt60
+    (the standard image-method surrogate under zero egress — no measured
+    RIR corpora are shippable from this environment)."""
+    rng = np.random.default_rng(seed + 31)
+    n = int(SR * max(dur, rt60))
+    t = np.arange(n) / SR
+    h = rng.standard_normal(n) * np.exp(-6.9078 * t / rt60)
+    h[: int(0.002 * SR)] = 0.0          # 2 ms pre-delay before reflections
+    h *= 0.35
+    h[0] = 1.0                          # direct path
+    return (h / np.abs(h).max()).astype(np.float32)
+
+
+def reverberate(y: np.ndarray, rt60: float = 0.4, wet: float = 0.5,
+                seed: int = 0) -> np.ndarray:
+    """Convolve with a synthetic RIR and mix wet/dry at equal peak level —
+    the classic energy-VAD killer (decay tails smear turn boundaries)."""
+    from scipy.signal import fftconvolve
+
+    r = fftconvolve(y, synthetic_rir(rt60, seed=seed))[: len(y)]
+    r *= (np.abs(y).max() or 1.0) / (np.abs(r).max() or 1.0)
+    return ((1.0 - wet) * y + wet * r).astype(np.float32)
+
+
+def telephone_channel(y: np.ndarray) -> np.ndarray:
+    """Narrowband channel: 300-3400 Hz bandpass + soft saturation — the
+    bandwidth-mismatch case (F3 and the fricative band are gone, so the
+    encoder sees a spectrum unlike its training distribution)."""
+    from scipy.signal import butter, sosfilt
+
+    sos = butter(4, [300.0, 3400.0], btype="bandpass", fs=SR, output="sos")
+    f = sosfilt(sos, y.astype(np.float64))
+    f = np.tanh(2.5 * f) / 2.5
+    peak = np.abs(f).max() or 1.0
+    return (f * (np.abs(y).max() or 1.0) / peak).astype(np.float32)
+
+
+def add_noise(y: np.ndarray, snr_db: float, seed: int = 0,
+              pink: bool = True) -> np.ndarray:
+    """Additive noise at a target SNR vs the signal's mean power; pink
+    (1/f-ish) by default — broadband noise raises the energy-VAD floor."""
+    rng = np.random.default_rng(seed + 13)
+    noise = rng.standard_normal(len(y))
+    if pink:
+        noise = lfilter([0.06], [1.0, -0.94], noise)
+    p_sig = float((y.astype(np.float64) ** 2).mean())
+    p_noise = float((noise ** 2).mean()) or 1.0
+    g = np.sqrt(p_sig / (p_noise * 10.0 ** (snr_db / 10.0)))
+    return (y + g * noise).astype(np.float32)
+
+
 def build_conversation(spec, gap=0.35, overlap_pairs=(), with_breaths=True,
-                       music_level=0.0, seed=0):
+                       music_level=0.0, seed=0, rt60=None, channel=None,
+                       snr_db=None):
     """spec: [(spk, dur), ...] sequential turns. overlap_pairs: indices i
     where turn i+1 starts 0.5s BEFORE turn i ends (true overlapped speech).
-    Returns (wav, turns) with ground-truth second-resolution labels."""
+    rt60: reverberate the final mixture (synthetic RIR). channel="tel":
+    narrowband bandpass + saturation. snr_db: additive pink noise at that
+    SNR. Returns (wav, turns) with ground-truth second-resolution labels."""
     total = sum(d for _, d in spec) + gap * len(spec) + 1.0
     y = np.zeros(int(SR * total), np.float32)
     turns, cur = [], 0.3
@@ -140,4 +199,10 @@ def build_conversation(spec, gap=0.35, overlap_pairs=(), with_breaths=True,
     if music_level > 0:
         m = music_bed(total, music_level)
         y[: len(m)] += m
+    if rt60:
+        y = reverberate(y, rt60=rt60, seed=seed)
+    if channel == "tel":
+        y = telephone_channel(y)
+    if snr_db is not None:
+        y = add_noise(y, snr_db, seed=seed)
     return y, turns

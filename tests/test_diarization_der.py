@@ -1,9 +1,14 @@
 """Diarization quality harness: DER on synthetic mixtures with known turns
-(VERDICT r1 #7; reference behavior spec speaker_diarization/model.py:44-107).
+(VERDICT r1 #7 / r4 #7; reference behavior spec
+speaker_diarization/model.py:44-107).
 
-Measured with the random-init speaker encoder (2026-08-17, after the
-mean-centering + VAD-trim/split fixes in speaker_tools.diarize):
-3-speaker auto-k DER ≈ 0.12, 2-speaker auto-k ≈ 0.21, false alarm ≈ 0.
+Measured with the random-init speaker encoder (2026-08-20, the
+temporal-contrast-weighted fused embeddings + smallest-significant-eigengap
+auto-k + Ward clustering rewrite in tools/diarize.py — full table in
+scripts/der_table.py output / README):
+2spk 0.025 · 3spk 0.041 · overlap+music 0.175 · reverb 0.058 · telephone
+0.011 · noise@10dB 0.114 · reverb+noise 0.083 · 4spk 0.137 (4/4 found) ·
+5spk 0.165 (5/5 found); false alarm 0.0 and confusion 0.0 everywhere.
 Thresholds below carry ~2x margin. A pretrained speaker_rep checkpoint
 (interop.speaker import) only improves the embeddings.
 """
@@ -124,3 +129,71 @@ def test_diarize_formant_speech_overlap_and_music(encoder):
     m = der(ref, hyp)
     assert m["der"] <= 0.35, m
     assert m["false_alarm"] < 0.12, m
+
+
+# ---- round-5 stress tier (VERDICT r4 #7): reverb, channel/bandwidth
+# mismatch, additive noise, 4-5 speakers. Measured DERs in the module
+# docstring; every bar below is >= 1.8x the measurement.
+
+
+FOUR = [(0, 3.0), (1, 2.5), (2, 3.0), (3, 2.5), (0, 2.0), (2, 2.5),
+        (1, 3.0), (3, 2.0)]
+TWO = [(0, 3.0), (1, 2.5), (0, 2.5), (1, 3.0), (0, 2.0), (1, 2.5)]
+THREE = [(0, 3.0), (1, 2.5), (0, 2.0), (2, 3.5), (1, 3.0), (2, 2.0),
+         (0, 2.5)]
+
+
+def _run(encoder, spec, **kw):
+    from formant_speech import build_conversation
+
+    y, ref = build_conversation(spec, with_breaths=True, **kw)
+    hyp = diarize(y, SR, encoder)
+    return der(ref, hyp), len({t["speaker"] for t in hyp}), \
+        len({t["speaker"] for t in ref})
+
+
+def test_diarize_reverb(encoder):
+    """Synthetic-RIR reverb (rt60 0.4, 50% wet): decay tails smear turn
+    boundaries — the classic energy-VAD killer (measured 0.058)."""
+    m, k, ktrue = _run(encoder, TWO, seed=4, rt60=0.4)
+    assert m["der"] <= 0.20, m
+    assert m["false_alarm"] < 0.10, m
+
+
+def test_diarize_telephone_channel(encoder):
+    """300-3400 Hz bandpass + saturation: bandwidth mismatch vs the
+    features' design assumptions (measured 0.011)."""
+    m, k, ktrue = _run(encoder, TWO, seed=5, channel="tel")
+    assert m["der"] <= 0.15, m
+    assert k == ktrue, (k, ktrue)
+
+
+def test_diarize_additive_noise(encoder):
+    """Pink noise at 10 dB SNR raises the VAD floor (measured 0.114)."""
+    m, k, ktrue = _run(encoder, TWO, seed=6, snr_db=10.0)
+    assert m["der"] <= 0.28, m
+    assert m["false_alarm"] < 0.10, m
+
+
+def test_diarize_reverb_plus_noise(encoder):
+    """Reverb AND noise together, 3 speakers (measured 0.083)."""
+    m, k, ktrue = _run(encoder, THREE, seed=7, rt60=0.3, snr_db=15.0)
+    assert m["der"] <= 0.25, m
+    assert k == ktrue, (k, ktrue)
+
+
+def test_diarize_four_speakers(encoder):
+    """4 speakers incl. a deliberately close pair (f0 112 vs 95 Hz): the
+    temporal-contrast weighting regression test — blind z-scored fusion
+    measured 0.47 here, the weighted fusion 0.137 with 4/4 found."""
+    m, k, ktrue = _run(encoder, FOUR, seed=8)
+    assert m["der"] <= 0.28, m
+    assert k == 4, k
+
+
+def test_diarize_five_speakers(encoder):
+    """5 speakers, two close pairs (measured 0.165, 5/5 found)."""
+    m, k, ktrue = _run(encoder, FOUR + [(4, 3.0), (0, 2.0), (4, 2.5)],
+                       seed=9)
+    assert m["der"] <= 0.30, m
+    assert k >= 4, k

@@ -151,10 +151,12 @@ class SpeakerEncoder:
 
         self.model = ResNetSpeakerEncoder()
         weights_path = weights_path or os.environ.get("XVA_SPEAKER_REP")
+        self.pretrained = params is not None
         if params is None and weights_path and os.path.exists(weights_path):
             from ...interop.pretrained import load_speaker_encoder
 
             params = load_speaker_encoder(weights_path)
+            self.pretrained = True
         if params is None:
             wav = jnp.zeros((1, 16000))
             params = self.model.init(jax.random.PRNGKey(seed), wav)

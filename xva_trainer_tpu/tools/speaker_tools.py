@@ -147,101 +147,30 @@ class SpeakerClusterSearchTool(BaseTool):
 # ---------------- diarization ----------------
 
 
-def energy_vad(y: np.ndarray, sr: int, frame_ms: float = 30.0,
-               threshold_db: float = -45.0) -> np.ndarray:
-    """Boolean speech mask per frame."""
-    frame = int(sr * frame_ms / 1000)
-    n = max(1, len(y) // frame)
-    fr = y[: n * frame].reshape(n, frame)
-    db = 10.0 * np.log10((fr**2).mean(axis=1) + 1e-12)
-    thr = max(db.max() - 35.0, threshold_db)
-    return db > thr
-
-
 def diarize(
     y: np.ndarray,
     sr: int,
     encoder,
     num_speakers: Optional[int] = None,
     win_s: float = 1.0,
-    hop_s: float = 0.5,
+    hop_s: float = 0.25,
     min_turn_s: float = 1.0,
     speech_frac: float = 0.5,
-    distance_threshold: float = 0.7,
 ) -> List[Dict]:
-    """[{start, end, speaker}] — VAD → windowed embeddings → clustering →
-    VAD-trimmed merged turns (replaces the patched pyannote pipeline,
-    reference speaker_diarization/model.py:44-434).
+    """[{start, end, speaker}] — adaptive spectral VAD → fused window
+    embeddings (speech-frame MFCC/f0 stats + deep encoder) → eigengap
+    auto-k agglomerative clustering → frame-painted turns. Replaces the
+    patched pyannote pipeline (reference speaker_diarization/model.py:44-434);
+    full design + robustness rationale in tools/diarize.py. Quality tracked
+    by scripts/der_table.py over the formant stress harness
+    (tests/test_diarization_der.py)."""
+    from .diarize import diarize_turns
 
-    Embeddings are mean-centered then L2-normalized before cosine AHC: raw
-    deep-encoder embeddings share a large constant component that compresses
-    all cosine distances toward 0, making any absolute distance_threshold
-    meaningless; centering restores the scale (measured on the synthetic DER
-    harness: auto-k DER 0.60 → ~0.3, tests/test_diarization_der.py).
-    Parameters were tuned against that harness (VERDICT r1 #7).
-    """
     y16 = resample(y, sr, 16000)
-    sr16 = 16000
-    frame_ms = 30.0
-    speech = energy_vad(y16, sr16, frame_ms)
-    frame = int(sr16 * frame_ms / 1000)
-
-    win = int(win_s * sr16)
-    hop = int(hop_s * sr16)
-    segs, embs = [], []
-    for start in range(0, max(1, len(y16) - win + 1), hop):
-        fs, fe = start // frame, (start + win) // frame
-        if speech[fs:fe].mean() < speech_frac:
-            continue
-        segs.append((start / sr16, (start + win) / sr16))
-        embs.append(encoder.compute_embedding(y16[start : start + win],
-                                              num_eval=3))
-    if not embs:
-        return []
-    embs = np.stack(embs)
-    embs = embs - embs.mean(axis=0, keepdims=True)
-    embs = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-9)
-
-    from sklearn.cluster import AgglomerativeClustering
-
-    if num_speakers:
-        cl = AgglomerativeClustering(n_clusters=min(num_speakers, len(embs)),
-                                     metric="cosine", linkage="average")
-    else:
-        cl = AgglomerativeClustering(
-            n_clusters=None, distance_threshold=distance_threshold,
-            metric="cosine", linkage="average",
-        )
-    labels = cl.fit_predict(embs) if len(embs) > 1 else np.zeros(1, int)
-
-    # merge consecutive same-speaker windows into turns
-    turns: List[Dict] = []
-    for (s, e), l in zip(segs, labels):
-        if turns and turns[-1]["speaker"] == int(l) and s <= turns[-1]["end"] + hop_s:
-            turns[-1]["end"] = e
-        else:
-            turns.append({"start": s, "end": e, "speaker": int(l)})
-
-    # trim turns to VAD speech and split at interior pauses (>0.3 s): windows
-    # straddle silence, so untrimmed turns claim non-speech time (false alarm)
-    out: List[Dict] = []
-    max_gap = max(1, int(0.3 / (frame_ms / 1000)))
-    for t in turns:
-        fs = int(t["start"] * sr16) // frame
-        fe = min(len(speech), int(t["end"] * sr16) // frame)
-        idx = np.where(speech[fs:fe])[0]
-        if len(idx) == 0:
-            continue
-        # contiguous speech runs separated by > max_gap silent frames
-        splits = np.where(np.diff(idx) > max_gap)[0]
-        run_starts = [idx[0]] + [idx[i + 1] for i in splits]
-        run_ends = [idx[i] for i in splits] + [idx[-1]]
-        for a, b in zip(run_starts, run_ends):
-            s2 = (fs + a) * frame / sr16
-            e2 = (fs + b + 1) * frame / sr16
-            if e2 - s2 >= min_turn_s:
-                out.append({"start": s2, "end": e2, "speaker": t["speaker"]})
-    return out
+    return diarize_turns(
+        np.asarray(y16, np.float32), encoder, num_speakers=num_speakers,
+        min_turn_s=min_turn_s, win_s=win_s, hop_s=hop_s,
+        speech_frac=speech_frac)
 
 
 class DiarizationTool(BaseTool):
