@@ -106,6 +106,19 @@ def _commit_single(tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), tree)
 
 
+def _sds_of(tree):
+    """ShapeDtypeStruct mirror of a pytree — lowering on avals keeps every
+    train state OFF the device until its own timing run. Round 5 measured
+    the alternative (commit all four tasks' states at prep, then time):
+    RESOURCE_EXHAUSTED on every run — four full-size states do not coexist
+    in 16 GB HBM. Same-callable AOT reuse from SDS avals is the identical
+    mechanism the production precompiler uses (train/precompile.py)."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), tree)
+
+
 def _fastpitch_batch(B, T_TEXT, T_MEL, seed=0):
     import jax.numpy as jnp
 
@@ -172,15 +185,17 @@ def prep_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
 
     from xva_trainer_tpu.train.xvapitch_trainer import make_v3_step
 
-    model, disc, g_tx, d_tx, state, batch = _xvapitch_state_and_batch(
+    model, disc, g_tx, d_tx, host_state, batch = _xvapitch_state_and_batch(
         B, T_TEXT, T_SPEC)
     step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False)
     keys = [jax.random.PRNGKey(i) for i in range(iters + 1)]
-    lowered = step.lower(state, batch, keys[-1])
+    lowered = step.lower(_sds_of(host_state), batch, keys[-1])
 
     def run(compiled):
+        state = _commit_single(host_state)
         st, meta = step(state, batch, keys[-1])  # warm (AOT hit or compile)
         jax.block_until_ready(meta["loss"])
+        del state  # donated anyway; drop the host->device copy's last ref
         best = float("inf")
         for _ in range(3):
             s = st
@@ -191,6 +206,7 @@ def prep_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
             best = min(best, (time.perf_counter() - t0) / iters)
             st = s
         dt = best
+        del st, s  # free this task's device state before the next task runs
         frames = int(np.sum(np.asarray(batch["slens"])))
         out = {
             "xvapitch_steps_per_sec": 1.0 / dt,
@@ -198,7 +214,7 @@ def prep_xvapitch(B=128, T_TEXT=96, T_SPEC=384, iters=10):
             "xvapitch_loss_finite": bool(np.isfinite(loss)),
         }
         flops = _step_flops(step, compiled[0] if compiled else None,
-                            state, batch, keys[-1])
+                            _sds_of(host_state), batch, keys[-1])
         if flops:
             out["xvapitch_step_tflops"] = round(flops / 1e12, 3)
             out["xvapitch_mfu_vs_bf16_peak"] = round(
@@ -227,18 +243,19 @@ def prep_fastpitch(B=32, T_TEXT=128, T_MEL=512, iters=10):
             host_batch["mel"], host_batch["mel_lens"], host_batch["pitch"],
             host_batch["energy"], host_batch["prior"],
         )
-        state = TrainState(params=params, opt_state=tx.init(params),
-                           step=jnp.zeros((), jnp.int32))
-    state = _commit_single(state)
+        host_state = TrainState(params=params, opt_state=tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
     step = make_stage_step(model, 4, tx, use_gt_durs=True)
 
     kl = jnp.asarray(0.0)
     rngs = [jax.random.PRNGKey(i) for i in range(iters + 1)]
-    lowered = step.lower(state, batch, kl, rngs[-1])
+    lowered = step.lower(_sds_of(host_state), batch, kl, rngs[-1])
 
     def run(compiled):
+        state = _commit_single(host_state)
         st, meta = step(state, batch, kl, rngs[-1])  # warm
         jax.block_until_ready(meta["loss"])
+        del state
         best = float("inf")
         for _ in range(3):
             s = st
@@ -249,6 +266,7 @@ def prep_fastpitch(B=32, T_TEXT=128, T_MEL=512, iters=10):
             best = min(best, (time.perf_counter() - t0) / iters)
             st = s
         dt = best
+        del st, s
         frames = int(np.sum(np.asarray(batch["mel_lens"])))
         out = {
             "fastpitch_steps_per_sec": 1.0 / dt,
@@ -256,7 +274,7 @@ def prep_fastpitch(B=32, T_TEXT=128, T_MEL=512, iters=10):
             "fastpitch_loss_finite": bool(np.isfinite(loss)),
         }
         flops = _step_flops(step, compiled[0] if compiled else None,
-                            state, batch, kl, rngs[-1])
+                            _sds_of(host_state), batch, kl, rngs[-1])
         if flops:
             out["fastpitch_step_tflops"] = round(flops / 1e12, 3)
             out["fastpitch_mfu_vs_bf16_peak"] = round(
@@ -289,19 +307,20 @@ def prep_hifigan(B=16, iters=10):
         mel1 = np.zeros((1, SEGMENT_SIZE // 256, 80), np.float32)
         g_params = gen.init(jax.random.PRNGKey(0), mel1)
         d_vars = disc.init(jax.random.PRNGKey(1), seg1, seg1)
-        state = GanState(
+        host_state = GanState(
             g_params=g_params, d_params={"params": d_vars["params"]},
             d_stats=d_vars.get("batch_stats", {}),
             g_opt=g_tx.init(g_params), d_opt=d_tx.init({"params": d_vars["params"]}),
             step=jnp.zeros((), jnp.int32),
         )
-    state = _commit_single(state)
     step = make_gan_step(gen, disc, g_tx, d_tx, MelConfig())
-    lowered = step.lower(state, seg)
+    lowered = step.lower(_sds_of(host_state), seg)
 
     def run(compiled):
+        state = _commit_single(host_state)
         st, meta = step(state, seg)  # warm
         jax.block_until_ready(meta["mel_l1"])
+        del state
         best = float("inf")
         for _ in range(3):
             s = st
@@ -312,6 +331,7 @@ def prep_hifigan(B=16, iters=10):
             best = min(best, (time.perf_counter() - t0) / iters)
             st = s
         dt = best
+        del st, s
         return {
             "hifigan_steps_per_sec": 1.0 / dt,
             "hifigan_loss_finite": bool(np.isfinite(loss)),
@@ -372,7 +392,8 @@ def _xvapitch_state_and_batch(B=128, T_TEXT=96, T_SPEC=384):
     batch (int16 audio, device-spec) — shared by bench_xvapitch and
     bench_ab_fused_gd.py. Init runs on the host CPU backend
     (parallel/mesh.cpu_init_device — the accelerator init compile alone
-    costs minutes over the remote-compile tunnel), then commits."""
+    costs minutes over the remote-compile tunnel). The returned state is
+    HOST-side: callers commit it right before dispatch (see _sds_of)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -434,7 +455,6 @@ def _xvapitch_state_and_batch(B=128, T_TEXT=96, T_SPEC=384):
             g_opt=g_tx.init(g_params), d_opt=d_tx.init(d_params),
             step=jnp.zeros((), jnp.int32),
         )
-    state = _commit_single(state)
     batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
     return model, disc, g_tx, d_tx, state, batch
 
