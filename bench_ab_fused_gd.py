@@ -47,6 +47,11 @@ def main():
         """Runs one variant in its own scope so its donated state chain and
         executables are droppable before the other variant builds (two full
         V3States + activations do not fit HBM together)."""
+        from bench_train import _commit_single
+
+        # state0 is host-side now (see _xvapitch_state_and_batch) — each
+        # variant commits its own fresh device copy and donates that
+        state = _commit_single(state)
         step = make_v3_step(model, disc, g_tx, d_tx, freeze_post_dec=False,
                             fused_gd=fused)
         flops = _step_flops(step, None, state, batch, keys[-1])

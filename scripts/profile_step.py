@@ -82,17 +82,17 @@ def main():
     import bench_train
 
     os.makedirs(args.outdir, exist_ok=True)
-    run = bench_train.bench_xvapitch
-    kwargs = {}
+    kwargs = {"iters": args.iters}
     if args.tiny:
         kwargs = {"B": 4, "T_TEXT": 32, "T_SPEC": 64, "iters": args.iters}
-    else:
-        kwargs = {"iters": args.iters}
 
-    # warm-up (compile) outside the trace, then trace steady-state
-    run(**{**kwargs, "iters": 1})
+    # prep ONCE (full-size tracing costs ~5 min of GIL-bound Python on this
+    # host): warm-up run outside the trace, then trace steady-state
+    t = bench_train.prep_xvapitch(**kwargs)
+    t.compile()
+    t.run()
     with jax.profiler.trace(args.outdir):
-        result = run(**kwargs)
+        result = t.run()
     ranked, total = top_ops_from_trace(args.outdir)
     out = {"platform": platform, "bench": result,
            "top": ranked, "total_ms": total}

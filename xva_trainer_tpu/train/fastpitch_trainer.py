@@ -244,6 +244,10 @@ class FastPitchTrainer:
         # callables for one key and the loop's first dispatch would recompile
         self._memo_lock = threading.Lock()
         self._align_fn = None
+        # set by run_epoch after the FIRST training dispatch returns (its
+        # compile done): the pipeline gates background precompile threads on
+        # it so their GIL-bound tracing never races the critical-path compile
+        self.first_dispatch_event: Optional[threading.Event] = None
         self.epoch = 0
         self.total_iter = 0
         self.stop_requested = False
@@ -525,6 +529,9 @@ class FastPitchTrainer:
                         self.state, dev_batch, jnp.asarray(self.kl_weight()), sub
                     )
                     t_disp = time.perf_counter() - t_disp
+                    if (self.first_dispatch_event is not None
+                            and not self.first_dispatch_event.is_set()):
+                        self.first_dispatch_event.set()
                     if t_disp > 5.0:
                         # dispatch is async; a multi-second call means the
                         # step compiled right here — i.e. this (stage, shape)

@@ -174,10 +174,18 @@ def _train_v2_pipeline(cfg, model_cfg, gen_cfg, mesh, max_iters,
         fp.setup(batcher)
         if cfg.precompile and os.environ.get("XVA_PRECOMPILE", "1") != "0":
             # warm every compile the schedule will ever need, in parallel,
-            # while stage 1 (and the user's wall-clock) is already training
+            # while stage 1 (and the user's wall-clock) is already training.
+            # Gated on the start stage's first dispatch: the warmers' tracing
+            # is GIL-bound Python, and letting it race the critical-path
+            # compile starved stage-1 warmup ~15x on a 1-CPU host (the r4
+            # "warm runs recompile" finding — the XLA cache was hitting).
+            import threading as _threading
+
             from .precompile import Precompiler
 
-            pre = Precompiler()
+            gate = _threading.Event()
+            fp.first_dispatch_event = gate
+            pre = Precompiler(gate=gate)
             occupied = [b for b, items in batcher.assignment.items() if items]
             start_stage = fp.stage
             for stage in range(start_stage, 5):

@@ -35,10 +35,25 @@ from typing import Callable, List, Optional, Tuple
 
 
 def default_workers() -> int:
+    """Worker count: env override, else scaled to the host's cores.
+
+    Lower+compile is two phases with opposite concurrency behavior: XLA
+    compilation releases the GIL (threads give real parallelism, ~4x
+    measured on the remote-compile tunnel), but TRACING is pure GIL-bound
+    Python. On a warm persistent cache the XLA phase is ~instant, so a
+    6-thread pool on a 1-CPU host degenerates into six tracing threads
+    time-slicing against the training loop — measured as the "warm runs
+    recompile" mystery (r4 northstar_warm: stage-1 warmup 155.6s while
+    every precompile task repeated ~its cold wall; the XLA cache was
+    hitting fine — diag_precompile_miss.py: stage-1 precompile 31.0s cold
+    → 7.5s warm — the time was starved Python tracing)."""
     try:
-        return max(1, int(os.environ.get("XVA_PRECOMPILE_WORKERS", "6")))
+        v = os.environ.get("XVA_PRECOMPILE_WORKERS")
+        if v:
+            return max(1, int(v))
     except ValueError:
-        return 6
+        pass
+    return min(6, max(2, os.cpu_count() or 1))
 
 
 class Precompiler:
@@ -49,18 +64,30 @@ class Precompiler:
     this module.
     """
 
-    def __init__(self, max_workers: Optional[int] = None):
+    def __init__(self, max_workers: Optional[int] = None,
+                 gate: Optional[threading.Event] = None,
+                 gate_timeout_s: float = 600.0):
+        """``gate``: optional start barrier — every submitted task waits for
+        it (bounded by ``gate_timeout_s``) before running. The pipeline sets
+        it after the start stage's FIRST training dispatch returns, so the
+        critical-path compile never races the warmers' GIL-bound tracing
+        (on a 1-CPU host that race starved stage-1's warmup by ~15x —
+        VERDICT r4 weak #4)."""
         self._ex = ThreadPoolExecutor(
             max_workers=max_workers or default_workers(),
             thread_name_prefix="precompile",
         )
         self._futs: List = []
         self._lock = threading.Lock()
+        self._gate = gate
+        self._gate_timeout_s = gate_timeout_s
         self.errors: List[Tuple[str, str]] = []
         self.timings: dict = {}
 
     def submit(self, name: str, fn: Callable, *args, **kwargs):
         def run():
+            if self._gate is not None:
+                self._gate.wait(self._gate_timeout_s)
             t0 = time.perf_counter()
             try:
                 fn(*args, **kwargs)
